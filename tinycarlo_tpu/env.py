@@ -1,0 +1,206 @@
+"""Functional environment core: pure reset/step over pytrees.
+
+TPU-native re-design of the reference `TinyCarloEnv` (reference:
+tinycarlo/env.py). The env is a pair of pure functions
+
+    reset(params, key)          -> (state, obs, info)
+    step(params, state, action) -> (state, obs, reward, terminated,
+                                    truncated, info)
+
+over an `EnvState` pytree, so a batch of environments is just `vmap`, a
+pod-slice of environments is `shard_map`, and the whole rollout jits into
+one XLA program. The Gymnasium-compatible class API lives in
+`tinycarlo_tpu.gym_env`; reward/termination/observation shaping live in
+`tinycarlo_tpu.wrapper` as composable pure functions.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tinycarlo_tpu import camera as cam
+from tinycarlo_tpu import car as car_mod
+from tinycarlo_tpu.config import EnvConfig, load_config
+from tinycarlo_tpu.map_compiler import MapData, compile_map
+from tinycarlo_tpu.ops import rasterize as ras
+
+
+@struct.dataclass
+class EnvParams:
+    """Everything the pure functions need: compiled map + camera matrices
+    (pytree leaves, so they can be donated/sharded/randomized) and the
+    static config (hashable aux data selecting the compiled program).
+    """
+
+    map_data: MapData
+    camera: cam.CameraMatrices
+    cfg: EnvConfig = struct.field(pytree_node=False, default=None)
+
+
+@struct.dataclass
+class EnvState:
+    car: car_mod.CarState
+    key: jnp.ndarray  # per-env PRNG key driving respawns
+
+
+def make_env_params(
+    config: Union[str, Dict[str, Any], EnvConfig],
+    dtype=jnp.float32,
+) -> EnvParams:
+    """Compile a reference-schema config (dict / yaml path / EnvConfig)
+    into EnvParams. Mirrors TinyCarloEnv.__init__ construction order
+    (env.py:47-51) minus the human-render machinery.
+    """
+    if isinstance(config, EnvConfig):
+        cfg, config_path = config, None
+    else:
+        cfg, config_path = load_config(config)
+    map_data = compile_map(cfg.map, base_path=config_path, dtype=dtype)
+    matrices = cam.build_camera_matrices(cfg.camera, dtype=dtype)
+    return EnvParams(map_data=map_data, camera=matrices, cfg=cfg)
+
+
+def observation_shape(params: EnvParams) -> Tuple[int, ...]:
+    """Reference: env.py:68-73."""
+    h, w = params.cfg.camera.resolution
+    if params.cfg.sim.observation_space_format == "rgb":
+        return (h, w, 3)
+    return (params.map_data.n_layers, h, w)
+
+
+def render_observation(
+    params: EnvParams,
+    state: EnvState,
+    fmt: Optional[str] = None,
+) -> jnp.ndarray:
+    """Render the camera frame for the current state.
+
+    Equivalent of Camera.capture_frame + Renderer.render_camera_frame_*
+    (camera.py:52-110, renderer.py:36-51): project every laneline layer
+    through the camera rigidly attached to the car, then rasterize.
+    """
+    cfg = params.cfg
+    fmt = fmt or cfg.sim.observation_space_format
+    md = params.map_data
+    body = cam.car_world_to_body_matrix(state.car.position, state.car.rotation)
+    pose = params.camera.E @ body  # (3,4), camera.py:61
+
+    def project(nodes, edges, edge_mask):
+        return cam.project_layer(
+            nodes,
+            edges,
+            edge_mask,
+            pose,
+            params.camera.K,
+            cfg.camera.resolution,
+            cfg.camera.max_range,
+        )
+
+    p0, p1, draw = jax.vmap(project)(
+        md.laneline_nodes, md.laneline_edges, md.laneline_edge_mask
+    )
+    masks = ras.rasterize_masks_tiled(
+        p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness
+    )
+    if fmt == "classes":
+        return masks
+    return ras.rasterize_rgb(
+        p0,
+        p1,
+        draw,
+        md.laneline_colors,
+        cfg.camera.resolution,
+        cfg.camera.line_thickness,
+        masks=masks,
+    )
+
+
+def _info(params: EnvParams, state: EnvState) -> Dict[str, jnp.ndarray]:
+    """Reference info dict (env.py:83-85)."""
+    info = car_mod.car_info(params.map_data, params.cfg.car, state.car)
+    info["position"] = state.car.position
+    info["orientation"] = state.car.rotation
+    return info
+
+
+def default_reward(params: EnvParams, cte: jnp.ndarray) -> jnp.ndarray:
+    """Linear shaping on (signed) cte; reference env.py:87-93 feeds the
+    signed value, so negative cte yields reward > 1 -- replicated as-is.
+    """
+    tw = params.cfg.car.track_width
+    return jnp.maximum((-1.0 / tw) * cte + 1.0, 0.0)
+
+
+def default_termination(params: EnvParams, cte: jnp.ndarray) -> jnp.ndarray:
+    """Reference env.py:95-99 (signed comparison, also as-is)."""
+    return cte > params.cfg.car.track_width * 10
+
+
+def reset(
+    params: EnvParams,
+    key: jnp.ndarray,
+    spawn_row: Optional[jnp.ndarray] = None,
+    render: bool = True,
+) -> Tuple[EnvState, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Spawn the car at a random (or given) spawn-table row.
+
+    Reference: env.py:101-113 / car.py:34-44 / map.py:51-69. The spawn
+    distribution (uniform over valid spawn candidates) matches the
+    reference's rejection sampling; `spawn_row` lets the Gymnasium shim
+    reproduce the reference's exact np_random stream.
+    """
+    key, sub = jax.random.split(key)
+    if spawn_row is None:
+        spawn_row = jax.random.randint(sub, (), 0, params.map_data.spawns.count)
+    car_state = car_mod.car_reset(params.map_data, params.cfg.car, spawn_row)
+    state = EnvState(car=car_state, key=key)
+    obs = (
+        render_observation(params, state)
+        if render
+        else jnp.zeros(observation_shape(params), jnp.uint8)
+    )
+    return state, obs, _info(params, state)
+
+
+def step(
+    params: EnvParams,
+    state: EnvState,
+    action: Dict[str, jnp.ndarray],
+    render: bool = True,
+    wrapped: bool = False,
+):
+    """One environment step. Reference: env.py:115-146.
+
+    `action` = {"car_control": (2,) in [-1,1], "maneuver": () int32}.
+    `wrapped=True` reproduces the reference's wrapper flag (env.py:136-138):
+    default reward/termination are disabled and the caller's wrapper stack
+    supplies them.
+    """
+    control = jnp.clip(action["car_control"], -1.0, 1.0)  # env.py:118
+    car_state, truncated = car_mod.car_step(
+        params.map_data,
+        params.cfg.car,
+        params.cfg.sim.T,
+        state.car,
+        control[0],
+        control[1],
+        action["maneuver"],
+    )
+    state = state.replace(car=car_state)
+    obs = (
+        render_observation(params, state)
+        if render
+        else jnp.zeros(observation_shape(params), jnp.uint8)
+    )
+    info = _info(params, state)
+    cte = info["cte"]
+    if wrapped:
+        reward = jnp.zeros_like(cte)
+        terminated = jnp.zeros_like(truncated)
+    else:
+        reward = default_reward(params, cte)
+        terminated = default_termination(params, cte)
+    return state, obs, reward, terminated, truncated, info

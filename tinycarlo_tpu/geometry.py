@@ -1,0 +1,214 @@
+"""Batched polyline-graph geometry kernels.
+
+This is the TPU-native replacement for the reference's `Layer` class
+(reference: tinycarlo/layer.py). Where the reference walks Python lists of
+nodes/edges per query, every query here is a masked reduction over
+fixed-shape padded arrays, so the whole thing jits, vmaps over thousands of
+car instances, and lowers to VPU-friendly vector code.
+
+Conventions used throughout:
+  * ``nodes``:      (N, 2) float array of node coordinates in meters.
+  * ``edges``:      (E, 2) int32 array of (src, dst) node indices.
+  * ``edge_mask``:  (E,) bool -- True for real edges, False for padding.
+  * Padded node/edge slots hold index 0 coordinates; masks make them inert.
+  * "first wins" tie-breaking everywhere: `jnp.argmin` returns the first
+    minimal index, matching the reference's `list.index(min(...))`
+    (reference: tinycarlo/layer.py:44,57; test/test_layer.py:52,88).
+  * Invalid results are encoded as index -1 (the reference returns None).
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from tinycarlo_tpu.utils.helper import clip_angle
+
+_BIG = jnp.inf
+
+
+def distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distance between points; broadcasts over leading dims.
+
+    Reference: tinycarlo/layer.py:187.
+    """
+    d = a - b
+    return jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2)
+
+
+def edge_endpoints(nodes: jnp.ndarray, edges: jnp.ndarray):
+    """Gather (src, dst) coordinates for every edge: two (E, 2) arrays."""
+    return nodes[edges[..., 0]], nodes[edges[..., 1]]
+
+
+def edge_orientations(nodes: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
+    """atan2 orientation of each edge. Reference: tinycarlo/layer.py:179-181."""
+    p0, p1 = edge_endpoints(nodes, edges)
+    return jnp.arctan2(p1[..., 1] - p0[..., 1], p1[..., 0] - p0[..., 0])
+
+
+def nearest_edge_idx(
+    nodes: jnp.ndarray,
+    edges: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    position: jnp.ndarray,
+) -> jnp.ndarray:
+    """Index of the nearest edge: argmin of summed endpoint distances.
+
+    Reference: tinycarlo/layer.py:33-44 (d = |dist(p,n0) + dist(p,n1)|,
+    first-minimal edge wins).
+    """
+    p0, p1 = edge_endpoints(nodes, edges)
+    d = jnp.abs(distance(position, p0) + distance(position, p1))
+    return jnp.argmin(jnp.where(edge_mask, d, _BIG))
+
+
+def nearest_node_idx(
+    nodes: jnp.ndarray, node_mask: jnp.ndarray, position: jnp.ndarray
+) -> jnp.ndarray:
+    """Index of the nearest node. Reference: tinycarlo/layer.py:46-57."""
+    d = distance(position, nodes)
+    return jnp.argmin(jnp.where(node_mask, d, _BIG))
+
+
+def nearest_edge_with_orientation_idx(
+    nodes: jnp.ndarray,
+    edges: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    position: jnp.ndarray,
+    orientation: jnp.ndarray,
+    margin_deg: float = 30.0,
+) -> jnp.ndarray:
+    """Nearest edge whose orientation is within +/- margin of `orientation`.
+
+    Returns -1 when no edge qualifies (the reference returns None).
+    Reference: tinycarlo/layer.py:59-74.
+    """
+    ori = edge_orientations(nodes, edges)
+    within = jnp.abs(clip_angle(ori - orientation)) <= math.radians(margin_deg)
+    valid = within & edge_mask
+    p0, p1 = edge_endpoints(nodes, edges)
+    d = jnp.abs(distance(position, p0) + distance(position, p1))
+    idx = jnp.argmin(jnp.where(valid, d, _BIG))
+    return jnp.where(jnp.any(valid), idx, -1)
+
+
+def signed_distance_to_edge(
+    nodes: jnp.ndarray, edge: jnp.ndarray, position: jnp.ndarray
+) -> jnp.ndarray:
+    """Signed perpendicular distance from `position` to the edge's line.
+
+    Positive to the right of the edge direction (2D cross product), with the
+    reference's special case for vertical lines, including its quirk that a
+    degenerate (zero-length) edge falls into the "pointing down" branch.
+    Reference: tinycarlo/layer.py:144-164.
+    """
+    n1 = nodes[edge[..., 0]]
+    n2 = nodes[edge[..., 1]]
+    lv = n2 - n1
+    pv = position - n1
+    vertical = lv[..., 0] == 0
+    vertical_d = jnp.where(
+        lv[..., 1] > 0,
+        position[..., 0] - n1[..., 0],
+        n1[..., 0] - position[..., 0],
+    )
+    denom = jnp.sqrt(lv[..., 0] ** 2 + lv[..., 1] ** 2)
+    safe_denom = jnp.where(vertical & (lv[..., 1] == 0), 1.0, denom)
+    cross = pv[..., 0] * lv[..., 1] - pv[..., 1] * lv[..., 0]
+    return jnp.where(vertical, vertical_d, cross / safe_denom)
+
+
+def distance_to_node(
+    nodes: jnp.ndarray, node_idx: jnp.ndarray, position: jnp.ndarray
+) -> jnp.ndarray:
+    """Distance to a node by index. Reference: tinycarlo/layer.py:166-177."""
+    return distance(position, nodes[node_idx])
+
+
+def within_edge_bounds(
+    nodes: jnp.ndarray, edge: jnp.ndarray, position: jnp.ndarray
+) -> jnp.ndarray:
+    """Is `position` inside the slab spanned perpendicular to the edge?
+
+    The reference tests that the angles (position - n0, edge) and
+    (position - n1, -edge) are both <= pi/2 (tinycarlo/layer.py:126-142);
+    that is equivalent to both dot products being >= 0, which also absorbs
+    its position==endpoint special cases (a zero vector dots to 0).
+    """
+    n0 = nodes[edge[..., 0]]
+    n1 = nodes[edge[..., 1]]
+    ev = n1 - n0
+    d0 = (position - n0) * ev
+    d1 = (position - n1) * (-ev)
+    return (d0[..., 0] + d0[..., 1] >= 0) & (d1[..., 0] + d1[..., 1] >= 0)
+
+
+def pick_node_given_orientation(
+    nodes: jnp.ndarray,
+    node_idx: jnp.ndarray,
+    orientation: jnp.ndarray,
+    candidates: jnp.ndarray,
+    candidate_count: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pick from `candidates` the node whose direction from `node_idx` best
+    matches `orientation`.
+
+    `candidates` is a (D,) int32 row of an adjacency table, valid entries
+    packed first, padded with -1. Matches the reference's semantics
+    (tinycarlo/layer.py:105-124): empty -> -1 (None), a single candidate is
+    returned without an orientation check, otherwise argmin of
+    |clip_angle(atan2(cand - node) - orientation)| with first-wins ties.
+    (The reference filters self-loop candidates out of its orientation list
+    but then indexes the unfiltered list -- a latent bug that never fires
+    because lane graphs have no self-loops; we index consistently.)
+    """
+    n = nodes[node_idx]
+    cand_pos = nodes[jnp.maximum(candidates, 0)]
+    ori = jnp.arctan2(cand_pos[..., 1] - n[..., 1], cand_pos[..., 0] - n[..., 0])
+    diff = jnp.abs(clip_angle(ori - orientation))
+    valid = candidates >= 0
+    best = jnp.argmin(jnp.where(valid, diff, _BIG))
+    picked = jnp.where(candidate_count > 1, candidates[best], candidates[0])
+    return jnp.where(candidate_count == 0, -1, picked)
+
+
+def nearest_connected_edge(
+    nodes: jnp.ndarray,
+    position: jnp.ndarray,
+    edge: jnp.ndarray,
+    orientation: jnp.ndarray,
+    next_table: jnp.ndarray,
+    next_count: jnp.ndarray,
+    prev_table: jnp.ndarray,
+    prev_count: jnp.ndarray,
+):
+    """One-hop graph walk toward `position` from `edge`.
+
+    Returns ((2,) int32 edge, valid bool). Mirrors the reference
+    (tinycarlo/layer.py:77-103): pick the orientation-best successor of
+    edge[1] and predecessor of edge[0]; if either side has none, the result
+    is invalid (reference returns None). Otherwise step forward if the
+    successor is strictly nearer than both current endpoints, step backward
+    if the predecessor is, else keep the current edge.
+    """
+    src = edge[..., 0]
+    dst = edge[..., 1]
+    next_node = pick_node_given_orientation(
+        nodes, dst, orientation, next_table[dst], next_count[dst]
+    )
+    prev_node = pick_node_given_orientation(
+        nodes, src, orientation, prev_table[src], prev_count[src]
+    )
+    valid = (next_node >= 0) & (prev_node >= 0)
+
+    d0 = distance(position, nodes[src])
+    d1 = distance(position, nodes[dst])
+    dn = distance(position, nodes[jnp.maximum(next_node, 0)])
+    dp = distance(position, nodes[jnp.maximum(prev_node, 0)])
+
+    fwd = (dn < d0) & (dn < d1)
+    bwd = (dp < d0) & (dp < d1) & ~fwd
+    out_src = jnp.where(fwd, dst, jnp.where(bwd, prev_node, src))
+    out_dst = jnp.where(fwd, next_node, jnp.where(bwd, src, dst))
+    return jnp.stack([out_src, out_dst], axis=-1), valid

@@ -1,0 +1,257 @@
+"""Map compiler: map JSON -> fixed-shape padded device arrays.
+
+The reference's `Map`/`Layer` objects (reference: tinycarlo/map.py,
+tinycarlo/layer.py) hold Python lists and answer queries with linear scans.
+Here a map is *compiled once* on the host into padded jnp arrays plus
+precomputed adjacency and spawn tables, so that every runtime query is a
+fixed-shape masked tensor op. Padded sizes are rounded up to lane-friendly
+multiples; changing maps recompiles (acceptable: maps are episode-static).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tinycarlo_tpu.config import MapConfig
+
+_PAD_MULTIPLE = 8
+
+
+def _round_up(n: int, m: int = _PAD_MULTIPLE) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+@struct.dataclass
+class LayerArrays:
+    """One polyline graph layer as padded arrays."""
+
+    nodes: jnp.ndarray  # (Nmax, 2) float
+    node_mask: jnp.ndarray  # (Nmax,) bool
+    edges: jnp.ndarray  # (Emax, 2) int32
+    edge_mask: jnp.ndarray  # (Emax,) bool
+    n_nodes: int = struct.field(pytree_node=False, default=0)
+    n_edges: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class LanePathArrays(LayerArrays):
+    """The directed lanepath layer, with adjacency tables.
+
+    ``next_table[n]`` lists successors of node n in original edge order
+    (matching the reference's linear scan order, tinycarlo/layer.py:183),
+    packed first and padded with -1; ``next_count[n]`` is the true degree.
+    """
+
+    next_table: jnp.ndarray = None  # (Nmax, D) int32
+    next_count: jnp.ndarray = None  # (Nmax,) int32
+    prev_table: jnp.ndarray = None  # (Nmax, D) int32
+    prev_count: jnp.ndarray = None  # (Nmax,) int32
+
+
+@struct.dataclass
+class SpawnTable:
+    """Precomputed valid spawn rows, replacing the reference's
+    rejection-sampling recursion (tinycarlo/map.py:51-69). Rows are exactly
+    the nodes the reference could return: candidates (spawn_points if given,
+    else node indices 0..N-2 -- the reference's `integers(0, N-1)` has an
+    exclusive high) filtered to nodes with at least one successor; the
+    reference resamples uniformly until it hits one of these, which is the
+    uniform distribution over this table.
+    """
+
+    node_idx: jnp.ndarray  # (S,) int32
+    position: jnp.ndarray  # (S, 2) float
+    rotation: jnp.ndarray  # (S,) float
+    edge: jnp.ndarray  # (S, 2) int32
+    count: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class MapData:
+    """A compiled map. Laneline layers are stacked along a leading axis,
+    all padded to the same Nmax/Emax so camera projection vmaps over them.
+    """
+
+    laneline_nodes: jnp.ndarray  # (L, Nmax, 2)
+    laneline_node_mask: jnp.ndarray  # (L, Nmax)
+    laneline_edges: jnp.ndarray  # (L, Emax, 2) int32
+    laneline_edge_mask: jnp.ndarray  # (L, Emax)
+    laneline_colors: jnp.ndarray  # (L, 3) int32 (RGB, reference layer_color)
+    lanepath: LanePathArrays
+    spawns: SpawnTable
+    dimension: jnp.ndarray  # (2,) float: (height, width) meters
+    laneline_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
+    pixel_per_meter: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.laneline_names)
+
+
+def _compile_layer(
+    layer: Dict[str, Any], n_max: int, e_max: int, dtype
+) -> LayerArrays:
+    nodes = np.asarray(layer["nodes"], dtype=np.float64).reshape(-1, 2)
+    edges = np.asarray(layer["edges"], dtype=np.int32).reshape(-1, 2)
+    n, e = len(nodes), len(edges)
+    pad_nodes = np.zeros((n_max, 2), dtype=np.float64)
+    pad_nodes[:n] = nodes
+    # Padded node slots repeat node 0 so stray gathers stay in-bounds & finite.
+    if n:
+        pad_nodes[n:] = nodes[0]
+    pad_edges = np.zeros((e_max, 2), dtype=np.int32)
+    pad_edges[:e] = edges
+    node_mask = np.arange(n_max) < n
+    edge_mask = np.arange(e_max) < e
+    return LayerArrays(
+        nodes=jnp.asarray(pad_nodes, dtype=dtype),
+        node_mask=jnp.asarray(node_mask),
+        edges=jnp.asarray(pad_edges),
+        edge_mask=jnp.asarray(edge_mask),
+        n_nodes=n,
+        n_edges=e,
+    )
+
+
+def _adjacency(edges: np.ndarray, n_nodes: int, n_max: int):
+    """Successor/predecessor tables in original edge order."""
+    next_lists = [[] for _ in range(n_max)]
+    prev_lists = [[] for _ in range(n_max)]
+    for src, dst in edges:
+        next_lists[src].append(int(dst))
+        prev_lists[dst].append(int(src))
+    deg = max(
+        [1]
+        + [len(x) for x in next_lists]
+        + [len(x) for x in prev_lists]
+    )
+    deg = max(2, deg)
+    next_table = np.full((n_max, deg), -1, dtype=np.int32)
+    prev_table = np.full((n_max, deg), -1, dtype=np.int32)
+    next_count = np.zeros(n_max, dtype=np.int32)
+    prev_count = np.zeros(n_max, dtype=np.int32)
+    for i in range(n_max):
+        next_table[i, : len(next_lists[i])] = next_lists[i]
+        next_count[i] = len(next_lists[i])
+        prev_table[i, : len(prev_lists[i])] = prev_lists[i]
+        prev_count[i] = len(prev_lists[i])
+    return next_table, next_count, prev_table, prev_count
+
+
+def compile_map(
+    map_config: MapConfig,
+    base_path: Optional[str] = None,
+    dtype=jnp.float32,
+) -> MapData:
+    """Load a reference map.json, scale px -> meters (reference:
+    tinycarlo/map.py:28-37), and pack everything into a MapData pytree.
+    """
+    base_dir = "./" if base_path is None else os.path.dirname(base_path)
+    map_path = os.path.join(base_dir, map_config.json_path)
+    with open(map_path) as f:
+        raw = json.load(f)
+    return compile_map_data(raw, map_config.pixel_per_meter,
+                            spawn_points=map_config.spawn_points, dtype=dtype)
+
+
+def compile_map_data(
+    raw: Dict[str, Any],
+    pixel_per_meter: float,
+    spawn_points: Optional[Tuple[int, ...]] = None,
+    dtype=jnp.float32,
+) -> MapData:
+    ppm = float(pixel_per_meter)
+    height = raw["height"] / ppm
+    width = raw["width"] / ppm
+
+    lanelines = raw["lanelines"]
+    names = tuple(lanelines.keys())
+    scaled_layers = {}
+    for name, layer in lanelines.items():
+        scaled_layers[name] = {
+            "nodes": (np.asarray(layer["nodes"], dtype=np.float64) / ppm),
+            "edges": layer["edges"],
+            "layer_color": layer["layer_color"],
+        }
+    lp_nodes = np.asarray(raw["lanepath"]["nodes"], dtype=np.float64) / ppm
+    lp_edges = np.asarray(raw["lanepath"]["edges"], dtype=np.int32).reshape(-1, 2)
+
+    n_max = _round_up(max(len(l["nodes"]) for l in scaled_layers.values()))
+    e_max = _round_up(max(len(l["edges"]) for l in scaled_layers.values()))
+    layer_arrays = [
+        _compile_layer(scaled_layers[name], n_max, e_max, dtype) for name in names
+    ]
+    colors = np.asarray(
+        [scaled_layers[name]["layer_color"] for name in names], dtype=np.int32
+    )
+
+    # Lanepath with adjacency.
+    lp_nmax = _round_up(len(lp_nodes))
+    lp_emax = _round_up(len(lp_edges))
+    lp = _compile_layer(
+        {"nodes": lp_nodes, "edges": lp_edges}, lp_nmax, lp_emax, dtype
+    )
+    nt, nc, pt, pc = _adjacency(lp_edges, len(lp_nodes), lp_nmax)
+    lanepath = LanePathArrays(
+        nodes=lp.nodes,
+        node_mask=lp.node_mask,
+        edges=lp.edges,
+        edge_mask=lp.edge_mask,
+        n_nodes=lp.n_nodes,
+        n_edges=lp.n_edges,
+        next_table=jnp.asarray(nt),
+        next_count=jnp.asarray(nc),
+        prev_table=jnp.asarray(pt),
+        prev_count=jnp.asarray(pc),
+    )
+
+    # Spawn table: candidates with >= 1 successor, first successor defines
+    # the spawn edge + rotation (reference: tinycarlo/map.py:61-68).
+    if spawn_points is not None:
+        candidates = [int(s) for s in spawn_points]
+    else:
+        candidates = list(range(max(0, len(lp_nodes) - 1)))
+    rows = []
+    for idx in candidates:
+        succs = nt[idx]
+        succs = succs[succs >= 0]
+        if len(succs) == 0:
+            continue
+        nxt = int(succs[0])
+        pos = lp_nodes[idx]
+        npos = lp_nodes[nxt]
+        rot = math.atan2(npos[1] - pos[1], npos[0] - pos[0])
+        rows.append((idx, pos[0], pos[1], rot, idx, nxt))
+    if not rows:
+        raise ValueError("map has no valid spawn node (no node with successor)")
+    s = len(rows)
+    s_max = _round_up(s)
+    arr = np.zeros((s_max, 6), dtype=np.float64)
+    arr[:s] = np.asarray(rows, dtype=np.float64)
+    arr[s:] = arr[0]  # pad with the first row; sampling never selects pads
+    spawns = SpawnTable(
+        node_idx=jnp.asarray(arr[:, 0], dtype=jnp.int32),
+        position=jnp.asarray(arr[:, 1:3], dtype=dtype),
+        rotation=jnp.asarray(arr[:, 3], dtype=dtype),
+        edge=jnp.asarray(arr[:, 4:6], dtype=jnp.int32),
+        count=s,
+    )
+
+    return MapData(
+        laneline_nodes=jnp.stack([l.nodes for l in layer_arrays]),
+        laneline_node_mask=jnp.stack([l.node_mask for l in layer_arrays]),
+        laneline_edges=jnp.stack([l.edges for l in layer_arrays]),
+        laneline_edge_mask=jnp.stack([l.edge_mask for l in layer_arrays]),
+        laneline_colors=jnp.asarray(colors),
+        lanepath=lanepath,
+        spawns=spawns,
+        dimension=jnp.asarray([height, width], dtype=dtype),
+        laneline_names=names,
+        pixel_per_meter=int(pixel_per_meter),
+    )

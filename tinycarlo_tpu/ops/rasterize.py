@@ -1,0 +1,173 @@
+"""Line-segment rasterization into class masks / RGB frames.
+
+TPU-native replacement for the reference's cv2.polylines rasterization
+(reference: tinycarlo/renderer.py:36-51). Segments are drawn by a
+distance-to-segment test against the pixel grid -- a branch-free,
+fixed-shape formulation that vmaps over envs and lowers to dense VPU code.
+
+Endpoint handling matches cv2: coordinates are truncated toward zero to
+integers before drawing (the reference passes np.int32(...) pairs,
+renderer.py:41-43,48-50). Thickness t paints pixels whose center lies
+within the stroke radius of the integer segment; the radius is calibrated
+against cv2's 8-connected thick lines (see tests/test_rasterize.py for the
+measured agreement).
+
+Two implementations:
+  * `rasterize_masks` -- pure jnp dense test, the readable reference.
+  * `rasterize_masks_tiled` -- same math but evaluated tile-by-tile with
+    per-tile segment culling; this is what the env uses on TPU.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _stroke_radius_sq(thickness: int) -> float:
+    # cv2 thickness=1 draws the 8-connected Bresenham line: pixels whose
+    # center is within ~0.5 px of the ideal line along the minor axis.
+    # For t >= 2, cv2 fills pixels within t/2 of the segment. Calibrated
+    # radii (see tests): r(1)=0.5, r(t)=t/2.
+    r = 0.5 if thickness <= 1 else thickness / 2.0
+    return r * r
+
+
+def _segment_dist_sq(px, py, ax, ay, bx, by):
+    """Squared distance from points (px,py) to segments (a,b).
+
+    Shapes broadcast: pixel coords (..., 1) against segment coords (E,).
+    """
+    abx = bx - ax
+    aby = by - ay
+    apx = px - ax
+    apy = py - ay
+    denom = abx * abx + aby * aby
+    t = (apx * abx + apy * aby) / jnp.where(denom == 0, 1.0, denom)
+    t = jnp.clip(t, 0.0, 1.0)
+    dx = apx - t * abx
+    dy = apy - t * aby
+    return dx * dx + dy * dy
+
+
+def _int_endpoints(p0: jnp.ndarray, p1: jnp.ndarray, dtype):
+    """cv2-style int32 truncation of endpoints, clamped to a sane window so
+    near-plane-clipped points (|coord| up to ~1e9) stay finite in float32.
+    """
+    lim = 1_000_000.0
+    a = jnp.clip(p0, -lim, lim).astype(jnp.int32).astype(dtype)
+    b = jnp.clip(p1, -lim, lim).astype(jnp.int32).astype(dtype)
+    return a, b
+
+
+def rasterize_masks(
+    p0: jnp.ndarray,  # (L, E, 2) float pixel coords (u=x, v=y)
+    p1: jnp.ndarray,  # (L, E, 2)
+    draw: jnp.ndarray,  # (L, E) bool
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+) -> jnp.ndarray:
+    """Rasterize per-layer segments into (L, H, W) uint8 {0,255} masks.
+
+    Equivalent of reference render_camera_frame_classes
+    (renderer.py:46-51). Dense O(H*W*E) distance test; use the tiled
+    variant for throughput.
+    """
+    h, w = resolution
+    dtype = p0.dtype
+    a, b = _int_endpoints(p0, p1, dtype)
+    r2 = jnp.asarray(_stroke_radius_sq(thickness), dtype)
+
+    ys = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+
+    def one_layer(a_l, b_l, draw_l):
+        d2 = _segment_dist_sq(
+            xs[..., None],
+            ys[..., None],
+            a_l[:, 0],
+            a_l[:, 1],
+            b_l[:, 0],
+            b_l[:, 1],
+        )  # (H, W, E)
+        hit = jnp.any((d2 <= r2) & draw_l, axis=-1)
+        return jnp.where(hit, jnp.uint8(255), jnp.uint8(0))
+
+    return jax.vmap(one_layer)(a, b, draw)
+
+
+def rasterize_rgb(
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    draw: jnp.ndarray,
+    colors: jnp.ndarray,  # (L, 3) int32 RGB
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    masks: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Composite per-layer masks into an (H, W, 3) uint8 RGB frame.
+
+    Layers are painted in order, later layers overwriting earlier ones at
+    overlaps, matching cv2's sequential polylines (renderer.py:36-44).
+    """
+    if masks is None:
+        masks = rasterize_masks(p0, p1, draw, resolution, thickness)
+    h, w = resolution
+    frame = jnp.zeros((h, w, 3), dtype=jnp.uint8)
+    colors = colors.astype(jnp.uint8)
+    for i in range(masks.shape[0]):
+        frame = jnp.where(masks[i][..., None] > 0, colors[i], frame)
+    return frame
+
+
+def rasterize_masks_tiled(
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    draw: jnp.ndarray,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    tile_h: int = 8,
+) -> jnp.ndarray:
+    """Tiled rasterizer with per-row-tile segment culling.
+
+    The image is cut into (tile_h, W) row bands; a segment contributes to a
+    band only if its y-extent (padded by the stroke radius) overlaps it.
+    The distance test is still evaluated for every (pixel, segment) pair in
+    the band but multiplied by the cull mask, which XLA turns into cheap
+    vector selects; the win comes from the much smaller live segment count
+    after the visibility mask upstream zeros most rows. Produces bit-equal
+    output to `rasterize_masks`.
+    """
+    h, w = resolution
+    dtype = p0.dtype
+    a, b = _int_endpoints(p0, p1, dtype)
+    r = float(jnp.sqrt(jnp.asarray(_stroke_radius_sq(thickness))))
+    r2 = jnp.asarray(_stroke_radius_sq(thickness), dtype)
+    n_tiles = (h + tile_h - 1) // tile_h
+
+    ys = jax.lax.broadcasted_iota(dtype, (tile_h, w), 0)
+    xs = jax.lax.broadcasted_iota(dtype, (tile_h, w), 1)
+
+    def one_layer(a_l, b_l, draw_l):
+        ymin = jnp.minimum(a_l[:, 1], b_l[:, 1]) - r
+        ymax = jnp.maximum(a_l[:, 1], b_l[:, 1]) + r
+
+        def one_tile(t):
+            y0 = t * tile_h
+            live = draw_l & (ymax >= y0) & (ymin < y0 + tile_h)
+            d2 = _segment_dist_sq(
+                xs[..., None],
+                ys[..., None] + y0,
+                a_l[:, 0],
+                a_l[:, 1],
+                b_l[:, 0],
+                b_l[:, 1],
+            )
+            hit = jnp.any((d2 <= r2) & live, axis=-1)
+            return jnp.where(hit, jnp.uint8(255), jnp.uint8(0))
+
+        tiles = jax.vmap(one_tile)(jnp.arange(n_tiles))
+        return tiles.reshape(n_tiles * tile_h, w)[:h]
+
+    return jax.vmap(one_layer)(a, b, draw)
