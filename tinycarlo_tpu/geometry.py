@@ -132,16 +132,34 @@ def within_edge_bounds(
     """Is `position` inside the slab spanned perpendicular to the edge?
 
     The reference tests that the angles (position - n0, edge) and
-    (position - n1, -edge) are both <= pi/2 (tinycarlo/layer.py:126-142);
-    that is equivalent to both dot products being >= 0, which also absorbs
-    its position==endpoint special cases (a zero vector dots to 0).
+    (position - n1, -edge) are both <= pi/2, with early-True for positions
+    equal to an endpoint (tinycarlo/layer.py:126-142). For non-degenerate
+    edges this equals a dot-product sign test, but we keep the atan2
+    formulation to stay behavior-compatible on *degenerate* (zero-length)
+    edges, which real maps contain (simple_layout's "area" layer is a
+    single self-loop edge): there atan2(0,0)=0 vs atan2(-0,-0)=-pi makes
+    the reference's answer direction-dependent.
     """
     n0 = nodes[edge[..., 0]]
     n1 = nodes[edge[..., 1]]
     ev = n1 - n0
-    d0 = (position - n0) * ev
-    d1 = (position - n1) * (-ev)
-    return (d0[..., 0] + d0[..., 1] >= 0) & (d1[..., 0] + d1[..., 1] >= 0)
+    v0 = position - n0
+    v1 = position - n1
+    a0 = jnp.abs(
+        clip_angle(
+            jnp.arctan2(v0[..., 1], v0[..., 0]) - jnp.arctan2(ev[..., 1], ev[..., 0])
+        )
+    )
+    a1 = jnp.abs(
+        clip_angle(
+            jnp.arctan2(v1[..., 1], v1[..., 0])
+            - jnp.arctan2(-ev[..., 1], -ev[..., 0])
+        )
+    )
+    at_n0 = (position[..., 0] == n0[..., 0]) & (position[..., 1] == n0[..., 1])
+    at_n1 = (position[..., 0] == n1[..., 0]) & (position[..., 1] == n1[..., 1])
+    half_pi = math.pi / 2
+    return at_n0 | at_n1 | ((a0 <= half_pi) & (a1 <= half_pi))
 
 
 def pick_node_given_orientation(
