@@ -19,6 +19,7 @@ Two implementations:
 """
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -28,9 +29,10 @@ import jax.numpy as jnp
 def _stroke_radius_sq(thickness: int) -> float:
     # cv2 thickness=1 draws the 8-connected Bresenham line: pixels whose
     # center is within ~0.5 px of the ideal line along the minor axis.
-    # For t >= 2, cv2 fills pixels within t/2 of the segment. Calibrated
-    # radii (see tests): r(1)=0.5, r(t)=t/2.
-    r = 0.5 if thickness <= 1 else thickness / 2.0
+    # For t >= 2, cv2 fills a t-wide rectangle with round caps whose pixel
+    # coverage extends ~(t+1)/2 from the centerline. Calibrated against
+    # cv2.polylines (see tests/test_rasterize.py): r(1)=0.5, r(t)=(t+1)/2.
+    r = 0.5 if thickness <= 1 else (thickness + 1) / 2.0
     return r * r
 
 
@@ -142,7 +144,7 @@ def rasterize_masks_tiled(
     h, w = resolution
     dtype = p0.dtype
     a, b = _int_endpoints(p0, p1, dtype)
-    r = float(jnp.sqrt(jnp.asarray(_stroke_radius_sq(thickness))))
+    r = math.sqrt(_stroke_radius_sq(thickness))
     r2 = jnp.asarray(_stroke_radius_sq(thickness), dtype)
     n_tiles = (h + tile_h - 1) // tile_h
 
