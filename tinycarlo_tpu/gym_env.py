@@ -1,0 +1,316 @@
+"""Gymnasium-compatible class API over the functional core.
+
+Drop-in equivalent of the reference `TinyCarloEnv` (reference:
+tinycarlo/env.py): same action/observation spaces, info dict, config
+schema, render modes, and RNG stream (spawn sampling reproduces the
+reference's seeded `np_random` draws exactly, rejections included). The
+simulation itself runs as the jitted pure functions in
+`tinycarlo_tpu.env`; this class only holds host-side state (RNG, render
+windows, wrapper flags) and converts device arrays to Python scalars at
+the boundary.
+
+For throughput use `tinycarlo_tpu.vector.VecEnv` -- this shim exists for
+API parity and single-env workflows.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import gymnasium as gym
+except ImportError:  # pragma: no cover
+    gym = None
+
+from tinycarlo_tpu import camera as cam
+from tinycarlo_tpu import env as fenv
+from tinycarlo_tpu.config import load_config
+from tinycarlo_tpu.utils.helper import getenv
+
+
+class _CarView:
+    """Host-side view of car config + live state, so wrapper/example code
+    written against the reference's `env.unwrapped.car` keeps working
+    (e.g. `car.track_width` in wrapper/reward.py:22, wheel geometry in the
+    overview renderer)."""
+
+    def __init__(self, shim: "TinyCarloEnv"):
+        self._shim = shim
+        cfg = shim.params.cfg.car
+        self.track_width = cfg.track_width
+        self.wheelbase = cfg.wheelbase
+        self.max_velocity = cfg.max_velocity
+        self.max_steering_angle = cfg.max_steering_angle
+
+    @property
+    def position(self) -> np.ndarray:
+        return np.asarray(self._shim.state.car.position)
+
+    @property
+    def position_front(self) -> np.ndarray:
+        return np.asarray(self._shim.state.car.position_front)
+
+    @property
+    def rotation(self) -> float:
+        return float(self._shim.state.car.rotation)
+
+    @property
+    def steering_angle(self) -> float:
+        return float(self._shim.state.car.steering_angle)
+
+    @property
+    def velocity(self) -> float:
+        return float(self._shim.state.car.velocity)
+
+    @property
+    def radius(self) -> float:
+        return float(self._shim.state.car.radius)
+
+    @property
+    def local_path(self):
+        st = self._shim.state.car
+        n = int(st.local_path_len)
+        return [tuple(int(i) for i in e) for e in np.asarray(st.local_path[:n])]
+
+
+class _CameraView:
+    """Mutable camera parameters + `update_params()`, mirroring the
+    reference's domain-randomization hook (reference: camera.py:48-50,
+    mutated in examples/train_stanley_il.py:53-57)."""
+
+    def __init__(self, shim: "TinyCarloEnv"):
+        self._shim = shim
+        cfg = shim.params.cfg.camera
+        self.resolution = list(cfg.resolution)
+        self.position = list(cfg.position)
+        self.orientation = list(cfg.orientation)
+        self.fov = cfg.fov
+        self.max_range = cfg.max_range
+        self.line_thickness = cfg.line_thickness
+
+    def update_params(self) -> None:
+        dtype = self._shim.params.camera.E.dtype
+        matrices = cam.CameraMatrices(
+            E=cam.extrinsic_matrix(
+                jnp.asarray(self.orientation, dtype),
+                jnp.asarray(self.position, dtype),
+            ),
+            K=cam.intrinsic_matrix(self.fov, tuple(self.resolution), dtype),
+        )
+        self._shim.params = self._shim.params.replace(camera=matrices)
+
+
+class TinyCarloEnv(gym.Env if gym is not None else object):
+    """Gymnasium env `"tinycarlo-v2"`. Reference: tinycarlo/env.py:15-180."""
+
+    metadata: Dict[str, list] = {"render_modes": ["human", "rgb_array"]}
+
+    def __init__(
+        self,
+        render_mode: Optional[str] = None,
+        config: Optional[Union[str, Dict[str, Any]]] = None,
+        dtype=jnp.float32,
+    ):
+        cfg, config_path = load_config(config)
+        self.config_path = config_path
+        self.config = config if isinstance(config, dict) else None
+        if self.config is None:
+            import yaml
+
+            with open(config_path) as stream:
+                self.config = yaml.safe_load(stream)
+
+        self.params = fenv.make_env_params(cfg, dtype=dtype)
+        self.fps = cfg.sim.fps
+        self.T = cfg.sim.T
+        self.render_realtime = cfg.sim.render_realtime
+        self.observation_space_format = cfg.sim.observation_space_format
+        self.overview_pixel_per_meter = cfg.sim.overview_pixel_per_meter
+        self.render_node_names = cfg.sim.render_node_names
+
+        assert render_mode is None or render_mode in self.metadata["render_modes"]
+        self.render_mode = render_mode
+        self.no_observation = False
+        self.wrapped = False  # set True by wrappers; disables default shaping
+        self.loop_time: float = 1.0
+
+        self.state: Optional[fenv.EnvState] = None
+        self.car = _CarView(self)
+        self.camera = _CameraView(self)
+        self._window = None
+        self._window_camera = None
+        self._overview_cache = None
+
+        # Host-side spawn parity: map lanepath node index -> spawn-table row
+        # (-1 for dead ends / out-of-candidate nodes), so the reference's
+        # rejection-sampling recursion (map.py:51-69) is replayed draw for
+        # draw against the same seeded np_random stream.
+        spawns = self.params.map_data.spawns
+        self._n_lanepath_nodes = self.params.map_data.lanepath.n_nodes
+        self._spawn_points = cfg.map.spawn_points
+        node_to_row = np.full(self._n_lanepath_nodes, -1, dtype=np.int64)
+        for row, node in enumerate(np.asarray(spawns.node_idx[: spawns.count])):
+            node_to_row[node] = row
+        self._node_to_row = node_to_row
+
+        self._reset_fn = jax.jit(
+            partial(fenv.reset, render=False), static_argnames=()
+        )
+        self._step_fn = jax.jit(
+            fenv.step, static_argnames=("render", "wrapped")
+        )
+        self._render_obs_fn = jax.jit(
+            fenv.render_observation, static_argnames=("fmt",)
+        )
+
+        self.action_space = gym.spaces.Dict(
+            {
+                "car_control": gym.spaces.Box(-1, 1, shape=(2,), dtype=np.float32),
+                "maneuver": gym.spaces.Discrete(4),
+            }
+        )
+        self.observation_space = gym.spaces.Box(
+            low=0,
+            high=255,
+            shape=fenv.observation_shape(self.params),
+            dtype=np.uint8,
+        )
+
+        self.reset()
+
+    # -- helpers -----------------------------------------------------------
+
+    def _sample_spawn_row(self) -> int:
+        """Replay the reference RNG draw sequence (map.py:61-64)."""
+        while True:
+            if self._spawn_points is None:
+                idx = int(
+                    self.np_random.integers(
+                        0, self._n_lanepath_nodes - 1, size=1, dtype=int
+                    )[0]
+                )
+            else:
+                idx = int(self.np_random.choice(np.asarray(self._spawn_points)))
+            row = self._node_to_row[idx]
+            if row >= 0:
+                return int(row)
+
+    def _get_obs(self) -> np.ndarray:
+        if not self.no_observation or self.render_mode is not None:
+            obs = self._render_obs_fn(self.params, self.state)
+            return np.asarray(obs)
+        return np.zeros(self.observation_space.shape, dtype=np.uint8)
+
+    def _convert_info(self, info: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+        """Device info pytree -> reference-shaped host dict (env.py:83-85):
+        laneline_distances keyed by layer name, local_path as a trimmed
+        coordinate list."""
+        names = self.params.map_data.laneline_names
+        distances = np.asarray(info["laneline_distances"])
+        n = int(info["local_path_len"])
+        coords = np.asarray(info["local_path"])
+        return {
+            "cte": float(info["cte"]),
+            "heading_error": float(info["heading_error"]),
+            "position": np.asarray(info["position"]),
+            "orientation": float(info["orientation"]),
+            "laneline_distances": {
+                name: float(d) for name, d in zip(names, distances)
+            },
+            "local_path": [coords[i] for i in range(n)] if n >= 2 else [],
+            "velocity": float(info["velocity"]),
+        }
+
+    # -- gym API -----------------------------------------------------------
+
+    def reset(
+        self, seed: Optional[int] = None, options: Optional[Any] = None
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        if gym is not None:
+            super().reset(seed=seed)
+        row = self._sample_spawn_row()
+        self.state, _, info = self._reset_fn(
+            self.params, jax.random.PRNGKey(0), jnp.asarray(row)
+        )
+        observation = self._get_obs()
+        if self.render_mode == "human":
+            self._render_frame()
+        return observation, self._convert_info(info)
+
+    def step(self, action: Dict[str, Any]):
+        st = time.perf_counter()
+        control = np.clip(np.asarray(action["car_control"], np.float64), -1, 1)
+        self.state, _, reward, terminated, truncated, info = self._step_fn(
+            self.params,
+            self.state,
+            {
+                "car_control": jnp.asarray(control),
+                "maneuver": jnp.asarray(int(action["maneuver"])),
+            },
+            render=False,
+            wrapped=self.wrapped,
+        )
+        observation = self._get_obs()
+        if self.render_mode == "human":
+            self._render_frame()
+        self.loop_time = time.perf_counter() - st
+        if getenv("DEBUG"):
+            print(f"all: {self.loop_time*1000:.2f} ms")
+        return (
+            observation,
+            float(reward),
+            bool(terminated),
+            bool(truncated),
+            self._convert_info(info),
+        )
+
+    def render(self) -> Optional[np.ndarray]:
+        if self.render_mode == "rgb_array":
+            return self._render_frame()
+        return None
+
+    def _camera_rgb(self) -> np.ndarray:
+        return np.asarray(self._render_obs_fn(self.params, self.state, fmt="rgb"))
+
+    def _render_frame(self) -> Optional[np.ndarray]:
+        camera_view = self._camera_rgb()
+        if self.render_mode != "human":
+            return camera_view
+        import cv2
+
+        from tinycarlo_tpu.viz import render_overview
+
+        if self._window is None:
+            self._window = "Map"
+            cv2.namedWindow(self._window, cv2.WINDOW_NORMAL)
+        if self._window_camera is None:
+            self._window_camera = "Camera"
+            cv2.namedWindow(self._window_camera, cv2.WINDOW_NORMAL)
+        overview, self._overview_cache = render_overview(
+            self.params,
+            self.state,
+            self.overview_pixel_per_meter,
+            render_node_names=self.render_node_names,
+            static_cache=self._overview_cache,
+        )
+        cv2.imshow(self._window, overview)
+        cv2.imshow(self._window_camera, camera_view)
+        waiting_time = self.T - self.loop_time
+        if waiting_time < 0.001 or not self.render_realtime:
+            waiting_time = 0.001
+        cv2.waitKey(int(waiting_time * 1000))
+        return None
+
+    def close(self) -> None:
+        if self._window is not None or self._window_camera is not None:
+            import cv2
+
+            if self._window is not None:
+                cv2.destroyWindow(self._window)
+            if self._window_camera is not None:
+                cv2.destroyWindow(self._window_camera)
