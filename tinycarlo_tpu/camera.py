@@ -98,12 +98,29 @@ def intrinsic_matrix(
     )
 
 
+def matrix_builder(resolution: Tuple[int, int], dtype=jnp.float32):
+    """A jitted (orientation_deg(3,), position(3,), fov()) -> CameraMatrices
+    builder. One compile instead of dozens of eager dispatches -- this is
+    also what per-episode camera domain randomization calls (reference
+    update_params, camera.py:48-50)."""
+    import jax
+
+    def build(orientation, position, fov):
+        return CameraMatrices(
+            E=extrinsic_matrix(orientation, position),
+            K=intrinsic_matrix(fov, resolution, dtype),
+        )
+
+    return jax.jit(build)
+
+
 def build_camera_matrices(cfg: CameraConfig, dtype=jnp.float32) -> CameraMatrices:
-    return CameraMatrices(
-        E=extrinsic_matrix(
-            jnp.asarray(cfg.orientation, dtype), jnp.asarray(cfg.position, dtype)
-        ),
-        K=intrinsic_matrix(cfg.fov, cfg.resolution, dtype),
+    import numpy as np
+
+    return matrix_builder(tuple(cfg.resolution), dtype)(
+        np.asarray(cfg.orientation, dtype),
+        np.asarray(cfg.position, dtype),
+        np.asarray(cfg.fov, dtype),
     )
 
 

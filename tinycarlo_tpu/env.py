@@ -49,15 +49,19 @@ class EnvState:
 def make_env_params(
     config: Union[str, Dict[str, Any], EnvConfig],
     dtype=jnp.float32,
+    base_path: Optional[str] = None,
 ) -> EnvParams:
     """Compile a reference-schema config (dict / yaml path / EnvConfig)
     into EnvParams. Mirrors TinyCarloEnv.__init__ construction order
-    (env.py:47-51) minus the human-render machinery.
+    (env.py:47-51) minus the human-render machinery. `base_path` anchors
+    relative map json paths (the yaml's own path when config is a file,
+    reference map.py:15-16).
     """
     if isinstance(config, EnvConfig):
-        cfg, config_path = config, None
+        cfg, config_path = config, base_path
     else:
         cfg, config_path = load_config(config)
+        config_path = config_path or base_path
     map_data = compile_map(cfg.map, base_path=config_path, dtype=dtype)
     matrices = cam.build_camera_matrices(cfg.camera, dtype=dtype)
     return EnvParams(map_data=map_data, camera=matrices, cfg=cfg)

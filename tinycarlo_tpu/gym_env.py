@@ -92,15 +92,16 @@ class _CameraView:
         self.fov = cfg.fov
         self.max_range = cfg.max_range
         self.line_thickness = cfg.line_thickness
+        self._builder = None  # jitted matrix builder, created on first use
 
     def update_params(self) -> None:
         dtype = self._shim.params.camera.E.dtype
-        matrices = cam.CameraMatrices(
-            E=cam.extrinsic_matrix(
-                jnp.asarray(self.orientation, dtype),
-                jnp.asarray(self.position, dtype),
-            ),
-            K=cam.intrinsic_matrix(self.fov, tuple(self.resolution), dtype),
+        if self._builder is None:
+            self._builder = cam.matrix_builder(tuple(self.resolution), dtype)
+        matrices = self._builder(
+            np.asarray(self.orientation, dtype),
+            np.asarray(self.position, dtype),
+            np.asarray(self.fov, dtype),
         )
         self._shim.params = self._shim.params.replace(camera=matrices)
 
@@ -125,7 +126,7 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
             with open(config_path) as stream:
                 self.config = yaml.safe_load(stream)
 
-        self.params = fenv.make_env_params(cfg, dtype=dtype)
+        self.params = fenv.make_env_params(cfg, dtype=dtype, base_path=config_path)
         self.fps = cfg.sim.fps
         self.T = cfg.sim.T
         self.render_realtime = cfg.sim.render_realtime
@@ -206,10 +207,10 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
             return np.asarray(obs)
         return np.zeros(self.observation_space.shape, dtype=np.uint8)
 
-    def _convert_info(self, info: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
-        """Device info pytree -> reference-shaped host dict (env.py:83-85):
-        laneline_distances keyed by layer name, local_path as a trimmed
-        coordinate list."""
+    def _convert_info(self, info: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Host info pytree (already device_get) -> reference-shaped dict
+        (env.py:83-85): laneline_distances keyed by layer name, local_path
+        as a trimmed coordinate list."""
         names = self.params.map_data.laneline_names
         distances = np.asarray(info["laneline_distances"])
         n = int(info["local_path_len"])
@@ -238,6 +239,8 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
             self.params, jax.random.PRNGKey(0), jnp.asarray(row)
         )
         observation = self._get_obs()
+        # single host<->device round-trip for the whole info pytree
+        info = jax.device_get(info)
         if self.render_mode == "human":
             self._render_frame()
         return observation, self._convert_info(info)
@@ -255,14 +258,25 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
             render=False,
             wrapped=self.wrapped,
         )
-        observation = self._get_obs()
+        # one fused device->host transfer per step (matters when the chip
+        # sits behind a network tunnel: per-scalar syncs dominate otherwise)
+        if not self.no_observation or self.render_mode is not None:
+            obs_dev = self._render_obs_fn(self.params, self.state)
+            observation, reward, terminated, truncated, info = jax.device_get(
+                (obs_dev, reward, terminated, truncated, info)
+            )
+        else:
+            reward, terminated, truncated, info = jax.device_get(
+                (reward, terminated, truncated, info)
+            )
+            observation = np.zeros(self.observation_space.shape, dtype=np.uint8)
         if self.render_mode == "human":
             self._render_frame()
         self.loop_time = time.perf_counter() - st
         if getenv("DEBUG"):
             print(f"all: {self.loop_time*1000:.2f} ms")
         return (
-            observation,
+            np.asarray(observation),
             float(reward),
             bool(terminated),
             bool(truncated),

@@ -14,6 +14,7 @@ import math
 import os
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -109,11 +110,14 @@ def _compile_layer(
     pad_edges[:e] = edges
     node_mask = np.arange(n_max) < n
     edge_mask = np.arange(e_max) < e
+    # Host numpy throughout; the whole MapData is device_put once at the
+    # end of compile_map_data (eager per-leaf transfers each pay a dispatch
+    # round-trip, which is expensive on tunneled TPU backends).
     return LayerArrays(
-        nodes=jnp.asarray(pad_nodes, dtype=dtype),
-        node_mask=jnp.asarray(node_mask),
-        edges=jnp.asarray(pad_edges),
-        edge_mask=jnp.asarray(edge_mask),
+        nodes=np.asarray(pad_nodes, dtype=dtype),
+        node_mask=node_mask,
+        edges=pad_edges,
+        edge_mask=edge_mask,
         n_nodes=n,
         n_edges=e,
     )
@@ -205,10 +209,10 @@ def compile_map_data(
         edge_mask=lp.edge_mask,
         n_nodes=lp.n_nodes,
         n_edges=lp.n_edges,
-        next_table=jnp.asarray(nt),
-        next_count=jnp.asarray(nc),
-        prev_table=jnp.asarray(pt),
-        prev_count=jnp.asarray(pc),
+        next_table=nt,
+        next_count=nc,
+        prev_table=pt,
+        prev_count=pc,
     )
 
     # Spawn table: candidates with >= 1 successor, first successor defines
@@ -236,22 +240,24 @@ def compile_map_data(
     arr[:s] = np.asarray(rows, dtype=np.float64)
     arr[s:] = arr[0]  # pad with the first row; sampling never selects pads
     spawns = SpawnTable(
-        node_idx=jnp.asarray(arr[:, 0], dtype=jnp.int32),
-        position=jnp.asarray(arr[:, 1:3], dtype=dtype),
-        rotation=jnp.asarray(arr[:, 3], dtype=dtype),
-        edge=jnp.asarray(arr[:, 4:6], dtype=jnp.int32),
+        node_idx=np.asarray(arr[:, 0], dtype=np.int32),
+        position=np.asarray(arr[:, 1:3], dtype=dtype),
+        rotation=np.asarray(arr[:, 3], dtype=dtype),
+        edge=np.asarray(arr[:, 4:6], dtype=np.int32),
         count=s,
     )
 
-    return MapData(
-        laneline_nodes=jnp.stack([l.nodes for l in layer_arrays]),
-        laneline_node_mask=jnp.stack([l.node_mask for l in layer_arrays]),
-        laneline_edges=jnp.stack([l.edges for l in layer_arrays]),
-        laneline_edge_mask=jnp.stack([l.edge_mask for l in layer_arrays]),
-        laneline_colors=jnp.asarray(colors),
+    map_data = MapData(
+        laneline_nodes=np.stack([l.nodes for l in layer_arrays]),
+        laneline_node_mask=np.stack([l.node_mask for l in layer_arrays]),
+        laneline_edges=np.stack([l.edges for l in layer_arrays]),
+        laneline_edge_mask=np.stack([l.edge_mask for l in layer_arrays]),
+        laneline_colors=colors,
         lanepath=lanepath,
         spawns=spawns,
-        dimension=jnp.asarray([height, width], dtype=dtype),
+        dimension=np.asarray([height, width], dtype=dtype),
         laneline_names=names,
         pixel_per_meter=int(pixel_per_meter),
     )
+    # One transfer for the whole pytree (no per-leaf eager dispatches).
+    return jax.device_put(map_data)
