@@ -1,0 +1,238 @@
+"""Stanley-expert imitation learning, on-device.
+
+Reference pipeline (examples/train_stanley_il.py): per-episode camera
+domain randomization (pitch in [10,20), fov in [90,130)), Stanley expert
+with OU noise collecting (obs, maneuver, steering) tuples every
+SKIP_STEPS frames, then supervised MSE training of TinycarCombo.
+
+TPU-native re-design: collection runs a *batch* of envs under one jitted
+scan per chunk (each chunk gets freshly randomized camera matrices --
+the batched analogue of per-episode randomization), and the training step
+is a jitted optax/BatchNorm update over device-resident data.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from tinycarlo_tpu import camera as cam
+from tinycarlo_tpu import env as fenv
+from tinycarlo_tpu import vector
+from tinycarlo_tpu.models.tinycar_net import TinycarCombo, pre_obs
+from tinycarlo_tpu.train.stanley import ou_step, stanley_steering
+
+
+@struct.dataclass
+class ILConfig:
+    """Defaults mirror reference train_stanley_il.py:18-36."""
+
+    learning_rate: float = struct.field(pytree_node=False, default=1e-4)
+    batch_size: int = struct.field(pytree_node=False, default=32)
+    steps: int = struct.field(pytree_node=False, default=10_000)
+    speed: float = struct.field(pytree_node=False, default=0.5)
+    k: float = struct.field(pytree_node=False, default=5.0)
+    noise_theta: float = struct.field(pytree_node=False, default=0.1)
+    noise_sigma: float = struct.field(pytree_node=False, default=0.4)
+    skip_steps: int = struct.field(pytree_node=False, default=2)
+    maneuver_dim: int = struct.field(pytree_node=False, default=3)
+    action_dim: int = struct.field(pytree_node=False, default=1)
+
+
+@struct.dataclass
+class ILState:
+    variables: Any  # {'params', 'batch_stats'}
+    opt_state: Any
+    model: TinycarCombo = struct.field(pytree_node=False, default=None)
+
+
+def create(key: jnp.ndarray, obs_shape: Tuple[int, ...], cfg: ILConfig) -> ILState:
+    """obs_shape is the env's (C,H,W) or (H,W,3); the model consumes NHWC."""
+    model = TinycarCombo(
+        maneuver_dim=cfg.maneuver_dim, action_dim=cfg.action_dim
+    )
+    dummy = pre_obs(jnp.zeros((1, *obs_shape), jnp.uint8))
+    variables = model.init(
+        key, dummy, jnp.zeros((1, cfg.maneuver_dim)), train=False
+    )
+    tx = optax.adam(cfg.learning_rate)
+    return ILState(
+        variables=variables,
+        opt_state=tx.init(variables["params"]),
+        model=model,
+    )
+
+
+def train_step(
+    state: ILState, cfg: ILConfig, batch: Dict[str, jnp.ndarray]
+) -> Tuple[ILState, jnp.ndarray]:
+    """MSE regression of the combo onto expert steering
+    (train_stanley_il.py:117-124). batch: x (B,H,W,C float), m (B,M one-hot),
+    y (B,A). BatchNorm runs in train mode with running-stat updates."""
+
+    def loss_fn(params):
+        out, mutated = state.model.apply(
+            {"params": params, "batch_stats": state.variables["batch_stats"]},
+            batch["x"],
+            batch["m"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.mean((out - batch["y"]) ** 2), mutated["batch_stats"]
+
+    tx = optax.adam(cfg.learning_rate)
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.variables["params"]
+    )
+    updates, opt_state = tx.update(
+        grads, state.opt_state, state.variables["params"]
+    )
+    params = optax.apply_updates(state.variables["params"], updates)
+    return (
+        state.replace(
+            variables={"params": params, "batch_stats": new_stats},
+            opt_state=opt_state,
+        ),
+        loss,
+    )
+
+
+def randomize_camera(
+    params: fenv.EnvParams, key: jnp.ndarray
+) -> fenv.EnvParams:
+    """Fresh camera matrices with pitch ~ U{10..19}, fov ~ U{90..129}
+    (reference train_stanley_il.py:53-57), rebuilt on-device."""
+    kp, kf = jax.random.split(key)
+    dtype = params.camera.E.dtype
+    cfg = params.cfg.camera
+    pitch = jax.random.randint(kp, (), 10, 20).astype(dtype)
+    fov = jax.random.randint(kf, (), 90, 130).astype(dtype)
+    orientation = jnp.asarray(cfg.orientation, dtype).at[0].set(pitch)
+    matrices = cam.CameraMatrices(
+        E=cam.extrinsic_matrix(orientation, jnp.asarray(cfg.position, dtype)),
+        K=cam.intrinsic_matrix(fov, tuple(cfg.resolution), dtype),
+    )
+    return params.replace(camera=matrices)
+
+
+def collect_chunk(
+    params: fenv.EnvParams,
+    cfg: ILConfig,
+    key: jnp.ndarray,
+    n_envs: int,
+    chunk_steps: int,
+    maneuver: jnp.ndarray,  # (B,) int32
+):
+    """One jitted collection chunk: randomized camera, Stanley expert with
+    OU noise, observations collected every `skip_steps` sim steps (the
+    scan stores every frame; the caller keeps rows where `keep` is True,
+    mirroring train_stanley_il.py:68-74).
+
+    Returns dict of stacked trajectories:
+      obs (T', B, ...) uint8, maneuver (B,), steering (T', B), keep (T',)
+    where T' = chunk_steps // skip_steps sampled frames.
+    """
+    k_cam, k_reset, k_scan = jax.random.split(key, 3)
+    params = randomize_camera(params, k_cam)
+    vstate, _ = vector.reset(params, k_reset, n_envs, render=False)
+    max_steer = params.cfg.car.max_steering_angle
+    env_dtype = params.camera.E.dtype
+    noise0 = jnp.zeros((n_envs, cfg.action_dim), env_dtype)
+
+    def body(carry, inp):
+        vstate, noise, info = carry
+        i, k = inp
+        noise = ou_step(
+            noise, k, cfg.noise_theta, 0.0, cfg.noise_sigma
+        )
+        steering = stanley_steering(
+            info["cte"], info["heading_error"], cfg.speed, cfg.k, max_steer
+        )
+        # sampled frame every skip_steps: render only those
+        sample_now = (i + 1) % cfg.skip_steps == 0
+        obs = jax.lax.cond(
+            sample_now,
+            lambda: jax.vmap(partial(fenv.render_observation, params))(
+                vstate.env
+            ),
+            lambda: jnp.zeros(
+                (n_envs, *fenv.observation_shape(params)), jnp.uint8
+            ),
+        )
+        act_maneuver = jnp.where(maneuver != 2, maneuver, 3)
+        action = {
+            "car_control": jnp.stack(
+                [
+                    jnp.full((n_envs,), cfg.speed, env_dtype),
+                    (steering + noise[:, 0]).astype(env_dtype),
+                ],
+                axis=-1,
+            ),
+            "maneuver": act_maneuver,
+        }
+        vstate, _, _, _, _, info = vector.step(
+            params, vstate, action, render=False
+        )
+        out = {
+            "obs": obs,
+            "steering": steering,
+            "keep": sample_now,
+        }
+        return (vstate, noise, info), out
+
+    info0 = jax.vmap(lambda s: fenv._info(params, s))(
+        jax.tree.map(lambda x: x, vstate.env)
+    )
+    keys = jax.random.split(k_scan, chunk_steps)
+    idx = jnp.arange(chunk_steps)
+    (_, _, _), traj = jax.lax.scan(
+        body, (vstate, noise0, info0), (idx, keys)
+    )
+    return traj
+
+
+def collect_dataset(
+    params: fenv.EnvParams,
+    cfg: ILConfig,
+    key: jnp.ndarray,
+    n_samples: int,
+    n_envs: int = 16,
+    chunk_steps: int = 128,
+):
+    """Fill (X, M, Y) arrays of `n_samples` expert transitions using
+    batched chunks; maneuvers cycle 0,1,2 per chunk like the reference's
+    per-episode cycle (train_stanley_il.py:104-107)."""
+    collect = jax.jit(
+        partial(
+            collect_chunk,
+            params,
+            cfg,
+            n_envs=n_envs,
+            chunk_steps=chunk_steps,
+        )
+    )
+    xs, ms, ys = [], [], []
+    total = 0
+    chunk_i = 0
+    while total < n_samples:
+        key, sub = jax.random.split(key)
+        maneuver = jnp.full((n_envs,), chunk_i % 3, jnp.int32)
+        traj = jax.device_get(collect(sub, maneuver=maneuver))
+        keep = traj["keep"].astype(bool)
+        obs = traj["obs"][keep].reshape(-1, *traj["obs"].shape[2:])
+        steer = traj["steering"][keep].reshape(-1)
+        n = obs.shape[0]
+        xs.append(obs)
+        ms.append(np.full(n, chunk_i % 3, np.float32))
+        ys.append(steer[:, None].astype(np.float32))
+        total += n
+        chunk_i += 1
+    X = np.concatenate(xs)[:n_samples]
+    M = np.concatenate(ms)[:n_samples]
+    Y = np.concatenate(ys)[:n_samples]
+    return X, M, Y

@@ -1,0 +1,192 @@
+"""Fused TD3 actor-learner: rollout + replay + updates in ONE jitted scan.
+
+The reference interleaves env stepping, encoder inference, replay writes,
+and torch updates across the host/GPU boundary every step (reference:
+examples/train_td3.py:174-207, device copies at :176,197 and
+rl_utils.py:27). Here a whole training chunk -- B parallel envs stepped T
+times, features encoded, OU exploration, replay insertion, and one TD3
+update per env-step -- is a single XLA program over device-resident state;
+the host only orchestrates chunks and logging.
+
+Semantics kept from the reference loop:
+  * frozen encoder features feed a (seq_len+1) feature queue that is
+    rolled, never cleared, across episode boundaries (train_td3.py:164,
+    175-176,196-197);
+  * replay rows are (queue[1:], m, a, r, queue[:-1]) (train_td3.py:198);
+  * OU noise resets and a fresh random maneuver in {0,1,2} is drawn when
+    an episode ends (train_td3.py:175-179), and maneuver 2 is remapped to
+    3 at the env boundary (train_td3.py:188);
+  * updates start once the buffer holds a full batch (train_td3.py:201).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tinycarlo_tpu import env as fenv
+from tinycarlo_tpu import vector
+from tinycarlo_tpu.models.tinycar_net import FEATURE_VEC_SIZE, pre_obs
+from tinycarlo_tpu.train import replay as rb
+from tinycarlo_tpu.train import td3
+from tinycarlo_tpu.train.stanley import ou_step
+from tinycarlo_tpu.wrapper.functional import WrapperStack
+
+
+@struct.dataclass
+class LoopConfig:
+    """Rollout-side knobs; defaults mirror train_td3.py:25-48."""
+
+    speed: float = struct.field(pytree_node=False, default=0.4)
+    steering_shift: float = struct.field(pytree_node=False, default=0.0)
+    max_episode_steps: int = struct.field(pytree_node=False, default=1000)
+    replay_size: int = struct.field(pytree_node=False, default=500_000)
+    updates_per_step: int = struct.field(pytree_node=False, default=1)
+
+
+@struct.dataclass
+class LoopState:
+    vstate: vector.VecState
+    queue: jnp.ndarray  # (B, seq_len+1, F)
+    noise: jnp.ndarray  # (B, action_dim)
+    maneuver: jnp.ndarray  # (B,) int32
+    buf: rb.ReplayBuffer
+    td3_state: td3.TD3State
+    key: jnp.ndarray
+    sigma: jnp.ndarray  # () current OU sigma (decayed by the host per chunk)
+
+
+def init_loop(
+    params: fenv.EnvParams,
+    cfg: td3.TD3Config,
+    loop_cfg: LoopConfig,
+    key: jnp.ndarray,
+    n_envs: int,
+    stack: Optional[WrapperStack] = None,
+) -> LoopState:
+    k_env, k_td3, k_m, k_loop = jax.random.split(key, 4)
+    vstate, _ = vector.reset(params, k_env, n_envs, stack=stack, render=False)
+    example = {
+        "x": jnp.zeros((cfg.seq_len, FEATURE_VEC_SIZE), jnp.float32),
+        "m": jnp.zeros((), jnp.int32),
+        "a": jnp.zeros((cfg.action_dim,), jnp.float32),
+        "r": jnp.zeros((1,), jnp.float32),
+        "x1": jnp.zeros((cfg.seq_len, FEATURE_VEC_SIZE), jnp.float32),
+    }
+    return LoopState(
+        vstate=vstate,
+        queue=jnp.zeros(
+            (n_envs, cfg.seq_len + 1, FEATURE_VEC_SIZE), jnp.float32
+        ),
+        noise=jnp.zeros((n_envs, cfg.action_dim), jnp.float32),
+        maneuver=jax.random.randint(k_m, (n_envs,), 0, 3),
+        buf=rb.create(loop_cfg.replay_size, example),
+        td3_state=td3.create(k_td3, cfg),
+        key=k_loop,
+        sigma=jnp.asarray(0.4, jnp.float32),
+    )
+
+
+def chunk(
+    state: LoopState,
+    params: fenv.EnvParams,
+    cfg: td3.TD3Config,
+    loop_cfg: LoopConfig,
+    encoder_apply,
+    n_steps: int,
+    stack: Optional[WrapperStack] = None,
+) -> Tuple[LoopState, Dict[str, jnp.ndarray]]:
+    """Run `n_steps` fused rollout+train steps. `encoder_apply(obs_uint8)
+    -> (B, F) features` (typically the frozen pretrained encoder,
+    train_td3.py:66-67,152-155). Jit this with everything but `state`
+    closed over / static.
+    """
+    n_envs = state.queue.shape[0]
+
+    def body(s: LoopState, _):
+        key, k_ou, k_evict, k_sample, k_m = jax.random.split(s.key, 5)
+
+        feat_seq = s.queue[:, :-1]  # newest seq_len entries
+        m_onehot = jax.nn.one_hot(s.maneuver, cfg.maneuver_dim)
+        noise = ou_step(s.noise, k_ou, cfg.noise_theta, cfg.noise_mean, s.sigma)
+        action = td3.select_action(
+            s.td3_state, cfg, feat_seq, m_onehot, noise,
+            loop_cfg.steering_shift,
+        )
+        env_dtype = s.vstate.env.car.position.dtype
+        env_action = {
+            "car_control": jnp.stack(
+                [
+                    jnp.full((n_envs,), loop_cfg.speed, env_dtype),
+                    action[:, 0].astype(env_dtype),
+                ],
+                axis=-1,
+            ),
+            "maneuver": jnp.where(s.maneuver != 2, s.maneuver, 3),
+        }
+        vstate, obs, rew, term, trunc, info = vector.step(
+            params,
+            s.vstate,
+            env_action,
+            stack=stack,
+            max_episode_steps=loop_cfg.max_episode_steps,
+            render=True,
+        )
+        f = encoder_apply(obs).astype(s.queue.dtype)
+        queue = jnp.roll(s.queue, 1, axis=1).at[:, 0].set(f)
+        buf = rb.add_batch(
+            s.buf,
+            k_evict,
+            {
+                "x": queue[:, 1:],
+                "m": s.maneuver,
+                "a": action,
+                "r": rew[:, None].astype(jnp.float32),
+                "x1": queue[:, :-1],
+            },
+        )
+
+        def do_update(td3_state):
+            batch = rb.sample(buf, k_sample, cfg.batch_size)
+            batch["m"] = jax.nn.one_hot(batch["m"], cfg.maneuver_dim)
+            batch["m1"] = batch["m"]
+            return td3.train_step(td3_state, cfg, batch)
+
+        def skip(td3_state):
+            z = jnp.zeros((), jnp.float32)
+            return td3_state, {
+                "critic1_loss": z,
+                "critic2_loss": z,
+                "actor_loss": z,
+            }
+
+        td3_state, losses = jax.lax.cond(
+            buf.filled >= cfg.batch_size, do_update, skip, s.td3_state
+        )
+
+        done = term | trunc
+        noise = jnp.where(done[:, None], 0.0, noise)
+        maneuver = jnp.where(
+            done, jax.random.randint(k_m, (n_envs,), 0, 3), s.maneuver
+        )
+        out = {
+            "reward": rew,
+            "done": done,
+            "cte": info["cte"],
+            **losses,
+        }
+        s = s.replace(
+            vstate=vstate,
+            queue=queue,
+            noise=noise,
+            maneuver=maneuver,
+            buf=buf,
+            td3_state=td3_state,
+            key=key,
+        )
+        return s, out
+
+    return jax.lax.scan(body, state, None, length=n_steps)
