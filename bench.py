@@ -1,0 +1,156 @@
+"""Headline benchmark: env-steps/s/chip at 4096 parallel envs, classes obs.
+
+BASELINE.json config 2: simple_layout map, Stanley controller, CTE reward,
+128x160 5-class observations rendered every step. The reference publishes
+no numbers (BASELINE.md), so `vs_baseline` compares against the reference
+implementation measured live on this host (single env, same config, same
+controller, no human rendering) -- the only throughput the reference can
+deliver.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+"""
+import json
+import math
+import os
+import sys
+import time
+from functools import partial
+
+REFERENCE = "/root/reference"
+CONFIG = {
+    # reference examples/config_simple_layout.yaml with classes obs and no
+    # human-render machinery
+    "sim": {"fps": 30, "observation_space_format": "classes"},
+    "car": {
+        "wheelbase": 0.0487,
+        "track_width": 0.027,
+        "max_velocity": 0.15,
+        "max_steering_angle": 30,
+        "steering_speed": 30,
+        "max_acceleration": 0.1,
+        "max_deceleration": 1.0,
+    },
+    "camera": {
+        "position": [0.0, -0.005, 0.04],
+        "orientation": [22, 0, 0],
+        "resolution": [128, 160],
+        "fov": 80,
+        "max_range": 0.5,
+        "line_thickness": 2,
+    },
+    "map": {
+        "json_path": os.path.join(REFERENCE, "examples/maps/simple_layout.json"),
+        "pixel_per_meter": 450,
+    },
+}
+N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 50))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 4))
+SPEED, K = 0.5, 5.0
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu import vector
+    from tinycarlo_tpu.train.stanley import stanley_steering
+
+    params = fenv.make_env_params(CONFIG)
+    max_steer = params.cfg.car.max_steering_angle
+
+    def body(carry, _):
+        vstate, info, checksum = carry
+        obs = jax.vmap(partial(fenv.render_observation, params))(vstate.env)
+        # consume the rendered observation so it cannot be dead-code
+        # eliminated; a scalar reduction is all the consumer needs
+        checksum = checksum + jnp.sum(obs, dtype=jnp.uint32)
+        steering = jnp.clip(
+            stanley_steering(
+                info["cte"], info["heading_error"], SPEED, K, max_steer
+            ),
+            -1.0,
+            1.0,
+        )
+        action = {
+            "car_control": jnp.stack(
+                [jnp.full((N_ENVS,), SPEED, jnp.float32), steering.astype(jnp.float32)],
+                axis=-1,
+            ),
+            "maneuver": jnp.zeros((N_ENVS,), jnp.int32),
+        }
+        vstate, _, rew, term, trunc, info = vector.step(
+            params, vstate, action, render=False, max_episode_steps=1000
+        )
+        return (vstate, info, checksum), rew[0]
+
+    @jax.jit
+    def rollout(vstate, info):
+        (vstate, info, checksum), rews = jax.lax.scan(
+            body, (vstate, info, jnp.zeros((), jnp.uint32)), None, length=CHUNK
+        )
+        return vstate, info, checksum, rews
+
+    vstate, _ = vector.reset(params, jax.random.key(0), N_ENVS, render=False)
+    info = jax.vmap(lambda s: fenv._info(params, s))(vstate.env)
+    vstate, info, checksum, _ = jax.block_until_ready(rollout(vstate, info))
+    assert int(checksum) > 0, "observations were not rendered"
+    st = time.perf_counter()
+    for _ in range(REPEATS):
+        vstate, info, checksum, _ = rollout(vstate, info)
+    jax.block_until_ready(checksum)
+    dt = time.perf_counter() - st
+    return N_ENVS * CHUNK * REPEATS / dt
+
+
+def measure_reference(steps: int = 300) -> float:
+    """Single-env reference steps/s with classes obs + Stanley control."""
+    sys.path.insert(0, REFERENCE)
+    import numpy as np
+    from tinycarlo.env import TinyCarloEnv
+
+    env = TinyCarloEnv(config=CONFIG)
+    _, info = env.reset(seed=0)
+    st = time.perf_counter()
+    done_steps = 0
+    for _ in range(steps):
+        steering = float(
+            np.clip(
+                (info["heading_error"] + math.atan2(K * info["cte"], SPEED))
+                * 180.0
+                / math.pi
+                / env.car.max_steering_angle,
+                -1,
+                1,
+            )
+        )
+        _, _, term, trunc, info = env.step(
+            {"car_control": [SPEED, steering], "maneuver": 0}
+        )
+        done_steps += 1
+        if term or trunc:
+            _, info = env.reset()
+    return done_steps / (time.perf_counter() - st)
+
+
+def main():
+    ref_sps = measure_reference()
+    ours_sps = measure_ours()
+    print(
+        json.dumps(
+            {
+                "metric": "env-steps/s/chip at 4096 envs (classes obs, Stanley)",
+                "value": round(ours_sps, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(ours_sps / ref_sps, 2),
+                "baseline_reference_steps_per_s": round(ref_sps, 1),
+                "n_envs": N_ENVS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""TD3 training: fused on-device rollout+replay+update chunks.
+
+Equivalent of the reference's examples/train_td3.py, with the host loop
+reduced to chunk orchestration + logging: the wrapper stack
+(CTELinearReward + CTETermination + CrashTermination, train_td3.py:60-62),
+frozen pretrained encoder (:66-67), temporal actor/critics over a
+seq_len=10 feature queue (:164), OU exploration with per-episode sigma
+decay (:143,179), optional steering shift (:37,146-147), CSV/plot
+artifacts, and per-maneuver evaluation (:239-244).
+
+Usage: python examples/train_td3.py [--envs 64] [--chunks 40] [--shift]
+"""
+import os
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from examples._common import default_config
+from tinycarlo_tpu import env as fenv
+from tinycarlo_tpu.models import (
+    TinycarActorTemporal,
+    TinycarEncoder,
+    load_pretrained,
+    pre_obs,
+)
+from tinycarlo_tpu.train import evaluate as evaluate_fn
+from tinycarlo_tpu.train import logging as tlog
+from tinycarlo_tpu.train import td3
+from tinycarlo_tpu.train.evaluate import standard_stack, temporal_policy
+from tinycarlo_tpu.train.td3_loop import LoopConfig, chunk, init_loop
+
+SEQ_LEN = 10
+SPEED = 0.4
+STEERING_SHIFT = -0.01
+OUT_DIR = os.environ.get("TD3_OUT", "/tmp/td3_run")
+
+
+def _arg(flag, default):
+    return (
+        int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+    )
+
+
+if __name__ == "__main__":
+    n_envs = _arg("--envs", 64)
+    n_chunks = _arg("--chunks", 40)
+    chunk_steps = _arg("--steps", 100)
+    include_shift = "--shift" in sys.argv
+
+    params = fenv.make_env_params(default_config())
+    cfg = td3.TD3Config(seq_len=SEQ_LEN)
+    loop_cfg = LoopConfig(
+        speed=SPEED,
+        steering_shift=STEERING_SHIFT if include_shift else 0.0,
+        replay_size=100_000,
+        max_episode_steps=1000,
+    )
+    stack = standard_stack()  # same shaping as train_td3.py:60-62
+
+    # frozen encoder: pretrained combo weights when available, fresh init
+    # otherwise (no network egress)
+    enc = TinycarEncoder()
+    obs_shape = fenv.observation_shape(params)
+    pretrained = load_pretrained(tuple(obs_shape))
+    if pretrained is not None:
+        enc_vars = {
+            "params": pretrained["params"]["encoder"],
+            "batch_stats": pretrained["batch_stats"]["encoder"],
+        }
+        print("loaded pretrained encoder")
+    else:
+        enc_vars = enc.init(
+            jax.random.key(1), pre_obs(jnp.zeros((1, *obs_shape), jnp.uint8))
+        )
+
+    def encoder_apply(obs):
+        return enc.apply(enc_vars, pre_obs(obs))
+
+    state = init_loop(params, cfg, loop_cfg, jax.random.key(0), n_envs, stack)
+    run = jax.jit(
+        partial(
+            chunk,
+            params=params,
+            cfg=cfg,
+            loop_cfg=loop_cfg,
+            encoder_apply=encoder_apply,
+            n_steps=chunk_steps,
+            stack=stack,
+        )
+    )
+
+    c1_hist, c2_hist, a_hist, rew_hist = [], [], [], []
+    st = time.perf_counter()
+    for i in range(n_chunks):
+        # per-chunk OU sigma decay, the batched analogue of the reference's
+        # per-episode decay (train_td3.py:179)
+        state = state.replace(
+            sigma=jnp.asarray(0.4 * (1 - i / n_chunks), jnp.float32)
+        )
+        state, out = run(state)
+        out = jax.device_get(out)
+        c1_hist += list(out["critic1_loss"])
+        c2_hist += list(out["critic2_loss"])
+        a_hist += [x for x in out["actor_loss"] if x != 0.0]
+        rew_hist.append(float(out["reward"].sum() / max(1, out["done"].sum())))
+        sps = (i + 1) * chunk_steps * n_envs / (time.perf_counter() - st)
+        print(
+            f"chunk {i+1}/{n_chunks} | {sps:,.0f} env-steps/s | "
+            f"c1 {tlog.avg_w(c1_hist):.3f} | rew/ep {rew_hist[-1]:.2f} | "
+            f"buffer {int(state.buf.filled)}"
+        )
+
+    tlog.save_losses(OUT_DIR, c1_hist, c2_hist, a_hist,
+                     "with_shift" if include_shift else "without_shift")
+    tlog.save_rewards(OUT_DIR, rew_hist)
+    tlog.plot_series(os.path.join(OUT_DIR, "critic_loss.png"),
+                     {"critic1": c1_hist, "critic2": c2_hist})
+    print(f"artifacts in {OUT_DIR}")
+
+    print("Evaluating:")
+    actor = TinycarActorTemporal(seq_len=SEQ_LEN)
+    pol = temporal_policy(enc, enc_vars, actor, state.td3_state.actor, SEQ_LEN)
+    for maneuver in range(3):
+        r = evaluate_fn(
+            pol, params, maneuver=maneuver,
+            carry_init=jnp.zeros((5, SEQ_LEN, 256)), steps=1000, episodes=5,
+        )
+        print(
+            f"Maneuver {maneuver} -> Total reward: {r['total_reward']:.2f} | "
+            f"CTE: {r['cte_avg']:.4f} m/step var: {r['cte_var']:.4f} | "
+            f"Heading Error: {r['heading_error_avg']:.4f} rad/step var "
+            f"{r['heading_error_var']:.4f} | Terminations: {r['terminations']:3d} "
+            f"| perf: {r['steps_per_s']:.2f} steps/s"
+        )

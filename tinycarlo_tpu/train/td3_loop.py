@@ -82,7 +82,7 @@ def init_loop(
             (n_envs, cfg.seq_len + 1, FEATURE_VEC_SIZE), jnp.float32
         ),
         noise=jnp.zeros((n_envs, cfg.action_dim), jnp.float32),
-        maneuver=jax.random.randint(k_m, (n_envs,), 0, 3),
+        maneuver=jax.random.randint(k_m, (n_envs,), 0, 3, jnp.int32),
         buf=rb.create(loop_cfg.replay_size, example),
         td3_state=td3.create(k_td3, cfg),
         key=k_loop,
@@ -170,7 +170,7 @@ def chunk(
         done = term | trunc
         noise = jnp.where(done[:, None], 0.0, noise)
         maneuver = jnp.where(
-            done, jax.random.randint(k_m, (n_envs,), 0, 3), s.maneuver
+            done, jax.random.randint(k_m, (n_envs,), 0, 3, jnp.int32), s.maneuver
         )
         out = {
             "reward": rew,
