@@ -1,0 +1,111 @@
+"""Pallas rasterizer vs the dense jnp reference: bit-equality on random
+segment sets and on real projected camera frames (interpret mode on CPU).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinycarlo_tpu.ops import rasterize as ras
+from tinycarlo_tpu.ops.rasterize_pallas import (
+    compact_segments,
+    rasterize_masks_pallas,
+)
+
+
+def _random_case(seed, L=3, E=24, H=32, W=48, frac=0.5):
+    rng = np.random.default_rng(seed)
+    p0 = jnp.asarray(rng.uniform(-10, W + 10, (L, E, 2)), jnp.float32)
+    p1 = jnp.asarray(rng.uniform(-10, H + 10, (L, E, 2)), jnp.float32)
+    draw = jnp.asarray(rng.random((L, E)) < frac)
+    return p0, p1, draw
+
+
+def test_compact_preserves_all_drawn():
+    p0, p1, draw = _random_case(0)
+    segs, count = compact_segments(p0, p1, draw)
+    n_drawn = np.asarray(draw.sum(axis=-1))
+    np.testing.assert_array_equal(np.asarray(count), n_drawn)
+    a, b = ras._int_endpoints(p0, p1, jnp.float32)
+    ref = np.concatenate([np.asarray(a), np.asarray(b)], axis=-1)
+    for l in range(draw.shape[0]):
+        drawn_rows = ref[l][np.asarray(draw[l])]
+        np.testing.assert_array_equal(
+            np.asarray(segs)[l, : n_drawn[l]], drawn_rows
+        )
+
+
+def _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, thickness):
+    """Pixels exactly on the stroke boundary (d2 == r2 up to one ulp) may
+    differ between compilations (FMA/fusion order); everything else must
+    match bit-for-bit."""
+    got, expected = np.asarray(got), np.asarray(expected)
+    diff = np.argwhere(got != expected)
+    if len(diff) == 0:
+        return
+    a, b = ras._int_endpoints(p0, p1, jnp.float32)
+    r2 = ras._stroke_radius_sq(thickness)
+    for l, y, x in diff:
+        d2 = np.asarray(
+            ras._segment_dist_sq(
+                jnp.float32(x), jnp.float32(y),
+                a[l, :, 0], a[l, :, 1], b[l, :, 0], b[l, :, 1],
+            )
+        )
+        drawn = np.asarray(draw[l])
+        assert np.any(np.abs(d2[drawn] - r2) < 1e-3), (
+            f"non-boundary pixel differs at {(l, y, x)}"
+        )
+    assert len(diff) < got.size * 0.005, "too many boundary diffs"
+
+
+@pytest.mark.parametrize("thickness", [1, 2, 3])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_equal_random(seed, thickness):
+    p0, p1, draw = _random_case(seed)
+    expected = ras.rasterize_masks(p0, p1, draw, (32, 48), thickness)
+    got = rasterize_masks_pallas(
+        p0, p1, draw, (32, 48), thickness, interpret=True
+    )
+    _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, thickness)
+
+
+def test_bit_equal_no_drawn_segments():
+    p0, p1, draw = _random_case(3, frac=0.0)
+    got = rasterize_masks_pallas(p0, p1, draw, (32, 48), 2, interpret=True)
+    assert np.asarray(got).sum() == 0
+
+
+def test_bit_equal_real_frame():
+    """Project a real camera frame and compare rasterizers."""
+    from tests.test_env import CONFIG
+    from tinycarlo_tpu import camera as cam
+    from tinycarlo_tpu import env as fenv
+
+    cfg = dict(CONFIG)
+    cfg["camera"] = dict(CONFIG["camera"], resolution=[64, 80])
+    params = fenv.make_env_params(cfg, dtype=jnp.float32)
+    state, _, _ = fenv.reset(params, jax.random.key(0), render=False)
+    body = cam.car_world_to_body_matrix(state.car.position, state.car.rotation)
+    pose = params.camera.E @ body
+    md = params.map_data
+    p0, p1, draw = jax.vmap(
+        lambda n, e, m: cam.project_layer(
+            n, e, m, pose, params.camera.K, (64, 80), cfg["camera"]["max_range"]
+        )
+    )(md.laneline_nodes, md.laneline_edges, md.laneline_edge_mask)
+    expected = ras.rasterize_masks(p0, p1, draw, (64, 80), 2)
+    got = rasterize_masks_pallas(p0, p1, draw, (64, 80), 2, interpret=True)
+    _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, 2)
+    assert np.asarray(got).sum() > 0
+
+
+def test_batched_leading_dims():
+    p0, p1, draw = _random_case(4)
+    p0b = jnp.stack([p0, p0 + 1])
+    p1b = jnp.stack([p1, p1 + 1])
+    drawb = jnp.stack([draw, draw])
+    got = rasterize_masks_pallas(p0b, p1b, drawb, (32, 48), 1, interpret=True)
+    assert got.shape == (2, 3, 32, 48)
+    exp0 = ras.rasterize_masks(p0, p1, draw, (32, 48), 1)
+    _assert_equal_up_to_stroke_boundary(got[0], exp0, p0, p1, draw, 1)

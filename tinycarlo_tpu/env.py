@@ -106,7 +106,7 @@ def render_observation(
     p0, p1, draw = jax.vmap(project)(
         md.laneline_nodes, md.laneline_edges, md.laneline_edge_mask
     )
-    masks = ras.rasterize_masks_tiled(
+    masks = ras.rasterize_masks_auto(
         p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness
     )
     if fmt == "classes":

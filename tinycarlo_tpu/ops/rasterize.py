@@ -12,10 +12,13 @@ within the stroke radius of the integer segment; the radius is calibrated
 against cv2's 8-connected thick lines (see tests/test_rasterize.py for the
 measured agreement).
 
-Two implementations:
+Three implementations:
   * `rasterize_masks` -- pure jnp dense test, the readable reference.
-  * `rasterize_masks_tiled` -- same math but evaluated tile-by-tile with
-    per-tile segment culling; this is what the env uses on TPU.
+  * `rasterize_masks_tiled` -- same math evaluated tile-by-tile with
+    per-tile segment culling (bit-equal; CPU/portable path).
+  * `tinycarlo_tpu.ops.rasterize_pallas` -- TPU Pallas kernel that loops
+    only over the visible segments (dynamic trip count); selected by
+    `rasterize_masks_auto` on TPU backends.
 """
 from __future__ import annotations
 
@@ -121,6 +124,23 @@ def rasterize_rgb(
     for i in range(masks.shape[0]):
         frame = jnp.where(masks[i][..., None] > 0, colors[i], frame)
     return frame
+
+
+def rasterize_masks_auto(
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    draw: jnp.ndarray,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+) -> jnp.ndarray:
+    """Backend dispatch: the Pallas visible-segment kernel on TPU, the
+    tiled jnp formulation elsewhere (trace-time decision; both agree up
+    to stroke-boundary ulps, see rasterize_pallas)."""
+    if jax.default_backend() == "tpu":
+        from tinycarlo_tpu.ops.rasterize_pallas import rasterize_masks_pallas
+
+        return rasterize_masks_pallas(p0, p1, draw, resolution, thickness)
+    return rasterize_masks_tiled(p0, p1, draw, resolution, thickness)
 
 
 def rasterize_masks_tiled(
