@@ -63,7 +63,7 @@ def measure_ours() -> float:
 
     def body(carry, _):
         vstate, info, checksum = carry
-        obs = jax.vmap(partial(fenv.render_observation, params))(vstate.env)
+        obs = fenv.render_observation_batch(params, vstate.env)
         # consume the rendered observation so it cannot be dead-code
         # eliminated; a scalar reduction is all the consumer needs
         checksum = checksum + jnp.sum(obs, dtype=jnp.uint32)

@@ -75,21 +75,12 @@ def observation_shape(params: EnvParams) -> Tuple[int, ...]:
     return (params.map_data.n_layers, h, w)
 
 
-def render_observation(
-    params: EnvParams,
-    state: EnvState,
-    fmt: Optional[str] = None,
-) -> jnp.ndarray:
-    """Render the camera frame for the current state.
-
-    Equivalent of Camera.capture_frame + Renderer.render_camera_frame_*
-    (camera.py:52-110, renderer.py:36-51): project every laneline layer
-    through the camera rigidly attached to the car, then rasterize.
-    """
+def _project_all_layers(params: EnvParams, car_state) -> Tuple[jnp.ndarray, ...]:
+    """Project every laneline layer through the car-mounted camera:
+    (L, E, 2) pixel endpoints x2 + (L, E) draw mask (camera.py:52-95)."""
     cfg = params.cfg
-    fmt = fmt or cfg.sim.observation_space_format
     md = params.map_data
-    body = cam.car_world_to_body_matrix(state.car.position, state.car.rotation)
+    body = cam.car_world_to_body_matrix(car_state.position, car_state.rotation)
     pose = params.camera.E @ body  # (3,4), camera.py:61
 
     def project(nodes, edges, edge_mask):
@@ -103,23 +94,69 @@ def render_observation(
             cfg.camera.max_range,
         )
 
-    p0, p1, draw = jax.vmap(project)(
+    return jax.vmap(project)(
         md.laneline_nodes, md.laneline_edges, md.laneline_edge_mask
+    )
+
+
+def _masks_to_obs(params: EnvParams, masks, draw_bundle, fmt):
+    if fmt == "classes":
+        return masks
+    p0, p1, draw = draw_bundle
+    return ras.rasterize_rgb(
+        p0,
+        p1,
+        draw,
+        params.map_data.laneline_colors,
+        params.cfg.camera.resolution,
+        params.cfg.camera.line_thickness,
+        masks=masks,
+    )
+
+
+def render_observation(
+    params: EnvParams,
+    state: EnvState,
+    fmt: Optional[str] = None,
+) -> jnp.ndarray:
+    """Render the camera frame for the current state.
+
+    Equivalent of Camera.capture_frame + Renderer.render_camera_frame_*
+    (camera.py:52-110, renderer.py:36-51): project every laneline layer
+    through the camera rigidly attached to the car, then rasterize.
+    """
+    cfg = params.cfg
+    fmt = fmt or cfg.sim.observation_space_format
+    p0, p1, draw = _project_all_layers(params, state.car)
+    masks = ras.rasterize_masks_auto(
+        p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness
+    )
+    return _masks_to_obs(params, masks, (p0, p1, draw), fmt)
+
+
+def render_observation_batch(
+    params: EnvParams,
+    states: EnvState,  # batched leaves (B, ...)
+    fmt: Optional[str] = None,
+) -> jnp.ndarray:
+    """Batched observation rendering: projection vmaps over envs, but the
+    rasterizer sees the whole (B, L, E) segment batch at once so the TPU
+    path uses the fused one-instance-per-env multilayer kernel (a plain
+    `vmap(render_observation)` would fall back to per-frame instances).
+    """
+    cfg = params.cfg
+    fmt = fmt or cfg.sim.observation_space_format
+    p0, p1, draw = jax.vmap(lambda c: _project_all_layers(params, c))(
+        states.car
     )
     masks = ras.rasterize_masks_auto(
         p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness
     )
     if fmt == "classes":
         return masks
-    return ras.rasterize_rgb(
-        p0,
-        p1,
-        draw,
-        md.laneline_colors,
-        cfg.camera.resolution,
-        cfg.camera.line_thickness,
-        masks=masks,
-    )
+    return jax.vmap(
+        lambda m, a, b, d: _masks_to_obs(params, m, (a, b, d), fmt)
+    )(masks, p0, p1, draw)
 
 
 def _info(params: EnvParams, state: EnvState) -> Dict[str, jnp.ndarray]:

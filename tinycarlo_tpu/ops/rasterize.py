@@ -135,12 +135,16 @@ def rasterize_masks_auto(
 ) -> jnp.ndarray:
     """Backend dispatch: the Pallas visible-segment kernel on TPU, the
     tiled jnp formulation elsewhere (trace-time decision; both agree up
-    to stroke-boundary ulps, see rasterize_pallas)."""
+    to stroke-boundary ulps, see rasterize_pallas). Accepts (L, E, 2) or
+    batched (B, ..., L, E, 2) segment arrays."""
     if jax.default_backend() == "tpu":
         from tinycarlo_tpu.ops.rasterize_pallas import rasterize_masks_pallas
 
         return rasterize_masks_pallas(p0, p1, draw, resolution, thickness)
-    return rasterize_masks_tiled(p0, p1, draw, resolution, thickness)
+    fn = rasterize_masks_tiled
+    for _ in range(p0.ndim - 3):
+        fn = jax.vmap(fn, in_axes=(0, 0, 0, None, None))
+    return fn(p0, p1, draw, resolution, thickness)
 
 
 def rasterize_masks_tiled(

@@ -39,11 +39,35 @@ def compact_segments(p0, p1, draw):
     `count`.
     """
     a, b = _int_endpoints(p0, p1, jnp.float32)
-    order = jnp.argsort(~draw, axis=-1, stable=True)
-    segs = jnp.concatenate([a, b], axis=-1)  # (..., E, 4)
-    segs = jnp.take_along_axis(segs, order[..., None], axis=-2)
+    segs = jnp.concatenate([a, b], axis=-1).astype(jnp.float32)  # (..., E, 4)
     count = jnp.sum(draw, axis=-1).astype(jnp.int32)
-    return segs.astype(jnp.float32), count
+    e = draw.shape[-1]
+    rows = 1
+    for d in draw.shape[:-1]:
+        rows *= d
+    if rows * e * e * 4 > 8_000_000_000:
+        # very large maps: the one-hot tensor would not fit comfortably in
+        # HBM; fall back to the sort formulation
+        order = jnp.argsort(~draw, axis=-1, stable=True)
+        return jnp.take_along_axis(segs, order[..., None], axis=-2), count
+    # One-hot permutation MATMUL on the MXU: each drawn segment's target
+    # slot is its exclusive-cumsum rank; the (E, E_out) one-hot routes the
+    # coordinates there. Precision.HIGHEST keeps the integer-valued f32
+    # coordinates exact (default TPU matmul precision rounds through
+    # bf16). 5x faster than argsort at 4096 envs (43ms -> 8ms).
+    pos = jnp.cumsum(draw, axis=-1) - 1
+    out_slot = jax.lax.broadcasted_iota(jnp.int32, (*draw.shape, e), draw.ndim)
+    onehot = ((pos[..., None] == out_slot) & draw[..., None]).astype(
+        jnp.float32
+    )
+    compacted = jnp.einsum(
+        "...ef,...eo->...of",
+        segs,
+        onehot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return compacted, count
 
 
 def _kernel(count_ref, segs_ref, out_ref, *, h, w, r2):
@@ -107,6 +131,78 @@ def rasterize_compact(
     )(count, segs)
 
 
+def _kernel_multilayer(count_ref, segs_ref, out_ref, *, n_layers, h, w, r2):
+    """One grid instance rasterizes ALL layer frames of one env, sharing
+    the iota/setup and the segment DMA across layers (5x fewer instances
+    than the per-frame kernel). The per-pixel divide is hoisted to one
+    scalar reciprocal per segment.
+
+    (Measured dead ends on v5e, kept out: a flattened (H*W/256, 256)
+    pixel layout, 8-row band culling per segment, and an int32 loop
+    accumulator were all slightly slower than this direct uint8
+    read-modify-write -- the kernel sits at the VPU roofline for the
+    per-(pixel, visible-segment) distance test.)"""
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+    i = pl.program_id(0)
+    for l in range(n_layers):
+        out_ref[0, l] = jnp.zeros((h, w), jnp.uint8)
+        # count is flat (B*L,): 2-D SMEM prefetch operands lane-pad to
+        # (B, 128) and blow the SMEM budget at large batch
+        n = count_ref[i * n_layers + l]
+
+        def seg_body(s, _):
+            ax = segs_ref[0, l, s, 0]
+            ay = segs_ref[0, l, s, 1]
+            bx = segs_ref[0, l, s, 2]
+            by = segs_ref[0, l, s, 3]
+            abx = bx - ax
+            aby = by - ay
+            denom = abx * abx + aby * aby
+            inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+            apx = xs - ax
+            apy = ys - ay
+            t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
+            dx = apx - t * abx
+            dy = apy - t * aby
+            hit = (dx * dx + dy * dy) <= r2
+            out_ref[0, l] = jnp.where(hit, jnp.uint8(255), out_ref[0, l])
+            return 0
+
+        jax.lax.fori_loop(0, n, seg_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("resolution", "thickness", "interpret")
+)
+def rasterize_compact_multilayer(
+    segs: jnp.ndarray,  # (B, L, E, 4) float32 compacted segments
+    count: jnp.ndarray,  # (B, L) int32
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, L, H, W) uint8 masks, one kernel instance per env."""
+    h, w = resolution
+    b, l, e, _ = segs.shape
+    r2 = float(_stroke_radius_sq(thickness))
+    kernel = functools.partial(
+        _kernel_multilayer, n_layers=l, h=h, w=w, r2=r2
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, l, e, 4), lambda i, count: (i, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, l, h, w), lambda i, count: (i, 0, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, l, h, w), jnp.uint8),
+        interpret=interpret,
+    )(count.reshape(-1), segs)
+
+
 def rasterize_masks_pallas(
     p0: jnp.ndarray,  # (L, E, 2) or (B, L, E, 2)
     p1: jnp.ndarray,
@@ -119,9 +215,14 @@ def rasterize_masks_pallas(
     batched over any leading dims."""
     lead = p0.shape[:-2]
     segs, count = compact_segments(p0, p1, draw)
-    segs = segs.reshape(-1, *segs.shape[-2:])
-    count = count.reshape(-1)
-    masks = rasterize_compact(
+    if p0.ndim == 3:  # (L, E, 2): per-frame kernel
+        return rasterize_compact(
+            segs, count, tuple(resolution), thickness, interpret
+        )
+    # (B, ..., L, E, 2): fused multilayer kernel, one instance per env
+    segs = segs.reshape(-1, *segs.shape[-3:])
+    count = count.reshape(segs.shape[0], segs.shape[1])
+    masks = rasterize_compact_multilayer(
         segs, count, tuple(resolution), thickness, interpret
     )
     return masks.reshape(*lead, *resolution)

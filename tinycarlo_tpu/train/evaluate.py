@@ -66,7 +66,7 @@ def evaluate(
 
     def body(c, key):
         vstate, carry = c
-        obs = jax.vmap(partial(fenv.render_observation, params))(vstate.env)
+        obs = fenv.render_observation_batch(params, vstate.env)
         steering, carry = act_fn(obs, m_arr, carry, key)
         action = {
             "car_control": jnp.stack(

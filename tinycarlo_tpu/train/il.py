@@ -157,9 +157,7 @@ def collect_chunk(
         sample_now = (i + 1) % cfg.skip_steps == 0
         obs = jax.lax.cond(
             sample_now,
-            lambda: jax.vmap(partial(fenv.render_observation, params))(
-                vstate.env
-            ),
+            lambda: fenv.render_observation_batch(params, vstate.env),
             lambda: jnp.zeros(
                 (n_envs, *fenv.observation_shape(params)), jnp.uint8
             ),

@@ -60,7 +60,7 @@ def reset(
         episode_step=jnp.zeros((n_envs,), jnp.int32),
     )
     obs = (
-        jax.vmap(partial(fenv.render_observation, params))(env_state)
+        fenv.render_observation_batch(params, env_state)
         if render
         else jnp.zeros(
             (n_envs, *fenv.observation_shape(params)), jnp.uint8
@@ -126,7 +126,7 @@ def step(
         env=env_state, counters=counters, episode_step=episode_step
     )
     obs = (
-        jax.vmap(partial(fenv.render_observation, params))(env_state)
+        fenv.render_observation_batch(params, env_state)
         if render
         else jnp.zeros(
             (terminated.shape[0], *fenv.observation_shape(params)), jnp.uint8
@@ -155,7 +155,7 @@ def rollout(
     def body(carry, key):
         state = carry
         obs = (
-            jax.vmap(partial(fenv.render_observation, params))(state.env)
+            fenv.render_observation_batch(params, state.env)
             if render
             else None
         )
