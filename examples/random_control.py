@@ -3,6 +3,11 @@
 Equivalent of the reference's examples/random_control.py:5-16.
 Usage: python examples/random_control.py [--render]
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
 import sys
 
 import gymnasium as gym
