@@ -125,13 +125,14 @@ def step(
     state = VecState(
         env=env_state, counters=counters, episode_step=episode_step
     )
-    obs = (
-        fenv.render_observation_batch(params, env_state)
-        if render
-        else jnp.zeros(
+    if render:
+        obs = fenv.render_observation_batch(params, env_state)
+        if stack.observation_fns:
+            obs = jax.vmap(stack.apply_observation)(env_state.key, obs)
+    else:
+        obs = jnp.zeros(
             (terminated.shape[0], *fenv.observation_shape(params)), jnp.uint8
         )
-    )
     return state, obs, reward, terminated, truncated, info
 
 

@@ -228,6 +228,16 @@ class WrapperStack:
     termination_fns: Tuple[TerminationFn, ...] = struct.field(
         pytree_node=False, default=()
     )
+    # per-env observation transforms `(key, obs) -> obs` (e.g.
+    # add_blob_noise_classes), the in-graph NoiseObservationWrapper
+    observation_fns: Tuple[Callable, ...] = struct.field(
+        pytree_node=False, default=()
+    )
+
+    def apply_observation(self, key: jnp.ndarray, obs: jnp.ndarray):
+        for i, fn in enumerate(self.observation_fns):
+            obs = fn(jax.random.fold_in(key, i), obs)
+        return obs
 
     def init_counters(self) -> Tuple[jnp.ndarray, ...]:
         return tuple(jnp.zeros((), jnp.int32) for _ in self.termination_fns)
