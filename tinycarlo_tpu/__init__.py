@@ -31,9 +31,12 @@ from tinycarlo_tpu.env import (  # noqa: F401
     EnvParams,
     EnvState,
     make_env_params,
+    render_observation,
+    render_observation_batch,
     reset,
     step,
 )
+from tinycarlo_tpu import vector  # noqa: F401
 
 # Gymnasium registration mirrors the reference ids (reference:
 # tinycarlo/__init__.py:3-4) so `gym.make("tinycarlo-v2", ...)` resolves to

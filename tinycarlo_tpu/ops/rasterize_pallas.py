@@ -45,29 +45,48 @@ def compact_segments(p0, p1, draw):
     rows = 1
     for d in draw.shape[:-1]:
         rows *= d
-    if rows * e * e * 4 > 8_000_000_000:
-        # very large maps: the one-hot tensor would not fit comfortably in
-        # HBM; fall back to the sort formulation
-        order = jnp.argsort(~draw, axis=-1, stable=True)
-        return jnp.take_along_axis(segs, order[..., None], axis=-2), count
+
     # One-hot permutation MATMUL on the MXU: each drawn segment's target
     # slot is its exclusive-cumsum rank; the (E, E_out) one-hot routes the
     # coordinates there. Precision.HIGHEST keeps the integer-valued f32
     # coordinates exact (default TPU matmul precision rounds through
     # bf16). 5x faster than argsort at 4096 envs (43ms -> 8ms).
-    pos = jnp.cumsum(draw, axis=-1) - 1
-    out_slot = jax.lax.broadcasted_iota(jnp.int32, (*draw.shape, e), draw.ndim)
-    onehot = ((pos[..., None] == out_slot) & draw[..., None]).astype(
-        jnp.float32
-    )
-    compacted = jnp.einsum(
-        "...ef,...eo->...of",
-        segs,
-        onehot,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return compacted, count
+    def route(segs_rows, draw_rows):
+        pos = jnp.cumsum(draw_rows, axis=-1) - 1
+        out_slot = jax.lax.broadcasted_iota(jnp.int32, (*draw_rows.shape, e), 2)
+        onehot = ((pos[..., None] == out_slot) & draw_rows[..., None]).astype(
+            jnp.float32
+        )
+        return jnp.einsum(
+            "ref,reo->rof",
+            segs_rows,
+            onehot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    flat_segs = segs.reshape(rows, e, 4)
+    flat_draw = draw.reshape(rows, e)
+    # bound the one-hot transient to ~1 GB by chunking the row axis (big
+    # maps: E in the hundreds at thousands of envs)
+    max_rows = max(1, 1_000_000_000 // max(1, e * e * 4))
+    if rows <= max_rows:
+        compacted = route(flat_segs, flat_draw)
+    else:
+        n_chunks = -(-rows // max_rows)
+        pad = n_chunks * max_rows - rows
+        compacted = jax.lax.map(
+            lambda args: route(*args),
+            (
+                jnp.pad(flat_segs, ((0, pad), (0, 0), (0, 0))).reshape(
+                    n_chunks, max_rows, e, 4
+                ),
+                jnp.pad(flat_draw, ((0, pad), (0, 0))).reshape(
+                    n_chunks, max_rows, e
+                ),
+            ),
+        ).reshape(n_chunks * max_rows, e, 4)[:rows]
+    return compacted.reshape(segs.shape), count
 
 
 def _kernel(count_ref, segs_ref, out_ref, *, h, w, r2):
