@@ -15,7 +15,6 @@ import math
 import os
 import sys
 import time
-from functools import partial
 
 REFERENCE = "/root/reference"
 CONFIG = {

@@ -8,8 +8,6 @@ import math
 import sys
 import time
 
-import numpy as np
-
 import os as _os
 import sys as _sys
 

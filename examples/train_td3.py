@@ -17,8 +17,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 import os as _os
 import sys as _sys
 

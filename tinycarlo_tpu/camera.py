@@ -17,7 +17,6 @@ divide by the negative depth flips the image upright.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp

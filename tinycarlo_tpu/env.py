@@ -15,7 +15,7 @@ one XLA program. The Gymnasium-compatible class API lives in
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 
 def _ring_nodes(

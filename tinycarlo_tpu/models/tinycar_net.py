@@ -22,7 +22,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

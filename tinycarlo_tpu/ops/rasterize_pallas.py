@@ -18,7 +18,6 @@ comparison (tests/test_rasterize_pallas.py asserts this bound).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

@@ -10,7 +10,7 @@ ICI; multi-host pods extend the same mesh across processes via
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np

@@ -10,7 +10,6 @@ per-device workload.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -10,7 +10,7 @@ optional"); the same rules apply unchanged to scaled-up variants.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

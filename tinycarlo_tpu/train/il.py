@@ -13,7 +13,7 @@ is a jitted optax/BatchNorm update over device-resident data.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ samples drawn uniformly over the filled prefix (rl_utils.py:26).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -20,8 +20,7 @@ Semantics kept from the reference loop:
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ from flax import struct
 
 from tinycarlo_tpu import env as fenv
 from tinycarlo_tpu import vector
-from tinycarlo_tpu.models.tinycar_net import FEATURE_VEC_SIZE, pre_obs
+from tinycarlo_tpu.models.tinycar_net import FEATURE_VEC_SIZE
 from tinycarlo_tpu.train import replay as rb
 from tinycarlo_tpu.train import td3
 from tinycarlo_tpu.train.stanley import ou_step

@@ -20,7 +20,7 @@ aligned with `MapData.laneline_names`.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -217,9 +217,13 @@ class WrapperStack:
 
     `reward_fns` / `termination_fns` are static (they select the compiled
     program); `init_counters()` builds the per-env counter pytree carried
-    through scan/vmap. When a stack is present the env's default
-    reward/termination are disabled, mirroring `unwrapped.wrapped = True`
-    (reference wrapper/reward.py:16, env.py:136-138).
+    through scan/vmap. When a stack carries reward or termination fns the
+    env's default shaping is disabled, mirroring `unwrapped.wrapped =
+    True` (reference wrapper/reward.py:16, env.py:136-138). One deliberate
+    deviation: an observation-only stack keeps the default reward (the
+    reference's NoiseObservationWrapper silently zeroes rewards by setting
+    the flag, which is a trap rather than a behavior worth keeping; the
+    Gymnasium class wrapper retains exact reference semantics).
     """
 
     reward_fns: Tuple[RewardFn, ...] = struct.field(
