@@ -8,7 +8,7 @@ import pytest
 
 from tinycarlo_tpu.ops import rasterize as ras
 from tinycarlo_tpu.ops.rasterize_pallas import (
-    compact_segments,
+    compact_soa,
     rasterize_masks_pallas,
 )
 
@@ -23,16 +23,33 @@ def _random_case(seed, L=3, E=24, H=32, W=48, frac=0.5):
 
 def test_compact_preserves_all_drawn():
     p0, p1, draw = _random_case(0)
-    segs, count = compact_segments(p0, p1, draw)
+    k = 16
+    ax, ay, abx, aby, inv, bw, count = compact_soa(
+        p0[None], p1[None], draw[None], k, 16, 32, 2
+    )
     n_drawn = np.asarray(draw.sum(axis=-1))
-    np.testing.assert_array_equal(np.asarray(count), n_drawn)
+    np.testing.assert_array_equal(np.asarray(count)[0], np.minimum(n_drawn, k))
     a, b = ras._int_endpoints(p0, p1, jnp.float32)
-    ref = np.concatenate([np.asarray(a), np.asarray(b)], axis=-1)
+    a, b = np.asarray(a), np.asarray(b)
     for l in range(draw.shape[0]):
-        drawn_rows = ref[l][np.asarray(draw[l])]
+        m = np.asarray(draw[l])
+        np.testing.assert_array_equal(np.asarray(ax)[0, l, : n_drawn[l]], a[l][m][:k, 0])
+        np.testing.assert_array_equal(np.asarray(ay)[0, l, : n_drawn[l]], a[l][m][:k, 1])
         np.testing.assert_array_equal(
-            np.asarray(segs)[l, : n_drawn[l]], drawn_rows
+            np.asarray(abx)[0, l, : n_drawn[l]], (b - a)[l][m][:k, 0]
         )
+
+
+def test_compact_no_limit_keeps_all_slots():
+    """k >= E: no top_k; dead slots are disabled via a zero band count."""
+    p0, p1, draw = _random_case(1)
+    E = p0.shape[1]
+    ax, ay, abx, aby, inv, bw, count = compact_soa(
+        p0[None], p1[None], draw[None], E, 16, 32, 2
+    )
+    assert np.all(np.asarray(count) == E)
+    nb = np.asarray(bw) % 256
+    assert np.all(nb[~np.asarray(draw[None])] == 0)
 
 
 def _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, thickness):

@@ -51,6 +51,13 @@ class CameraConfig:
     fov: float = 90.0  # degrees
     max_range: Optional[float] = None  # meters
     line_thickness: int = 1  # px
+    # Upper bound on simultaneously visible segments per layer-frame; the
+    # rasterizer compacts the padded segment axis down to this many slots
+    # (ops/rasterize.py:compact_visible). Not part of the reference schema
+    # (its renderer draws unbounded Python lists); frames with more
+    # visible segments would drop the excess, so raise it for unusually
+    # dense maps. None disables compaction (exact, slower).
+    max_visible_segments: Optional[int] = 128
 
 
 @dataclass(frozen=True)

@@ -129,7 +129,8 @@ def render_observation(
     fmt = fmt or cfg.sim.observation_space_format
     p0, p1, draw = _project_all_layers(params, state.car)
     masks = ras.rasterize_masks_auto(
-        p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness
+        p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness,
+        max_visible=cfg.camera.max_visible_segments,
     )
     return _masks_to_obs(params, masks, (p0, p1, draw), fmt)
 
@@ -146,11 +147,23 @@ def render_observation_batch(
     """
     cfg = params.cfg
     fmt = fmt or cfg.sim.observation_space_format
-    p0, p1, draw = jax.vmap(lambda c: _project_all_layers(params, c))(
-        states.car
+    md = params.map_data
+    body = jax.vmap(cam.car_world_to_body_matrix)(
+        states.car.position, states.car.rotation
+    )
+    pose = jnp.einsum("ij,bjk->bik", params.camera.E, body)  # (B, 3, 4)
+    p0, p1, draw = cam.project_layers_batch(
+        md.laneline_nodes,
+        md.laneline_edges,
+        md.laneline_edge_mask,
+        pose,
+        params.camera.K,
+        cfg.camera.resolution,
+        cfg.camera.max_range,
     )
     masks = ras.rasterize_masks_auto(
-        p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness
+        p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness,
+        max_visible=cfg.camera.max_visible_segments,
     )
     if fmt == "classes":
         return masks

@@ -126,21 +126,64 @@ def rasterize_rgb(
     return frame
 
 
+def compact_visible(
+    p0: jnp.ndarray,  # (..., E, 2) float pixel coords
+    p1: jnp.ndarray,
+    draw: jnp.ndarray,  # (..., E) bool
+    k: int,
+):
+    """top_k-compact the drawn segments into the first `count` of k slots.
+
+    Returns (a, b, live, count): (..., k, 2) int-valued endpoints (cv2
+    truncation already applied), (..., k) bool slot-live mask, and (...,)
+    int32 live counts. Order among drawn segments is preserved (the sort
+    key is strictly decreasing in the original index), which keeps cv2's
+    paint order; for same-value mask painting order is irrelevant anyway.
+
+    Masks are unchanged by compaction as long as every frame has at most
+    k drawn segments; with more, the later segments (in layer order) are
+    dropped. Callers pick k from the map/camera geometry (see
+    CameraConfig.max_visible_segments).
+    """
+    e = draw.shape[-1]
+    a, b = _int_endpoints(p0, p1, p0.dtype)
+    if k >= e:
+        return a, b, draw, jnp.sum(draw, axis=-1).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, draw.shape, draw.ndim - 1)
+    # Distinct keys, monotone in index within the drawn and undrawn
+    # groups: stable prefix without relying on top_k tie-breaking.
+    key = jnp.where(draw, e - iota, -iota)
+    _, idx = jax.lax.top_k(key, k)
+    a = jnp.take_along_axis(a, idx[..., None], axis=-2)
+    b = jnp.take_along_axis(b, idx[..., None], axis=-2)
+    count = jnp.minimum(jnp.sum(draw, axis=-1), k).astype(jnp.int32)
+    live = jax.lax.broadcasted_iota(jnp.int32, count.shape + (k,), draw.ndim - 1)
+    live = live < count[..., None]
+    return a, b, live, count
+
+
 def rasterize_masks_auto(
     p0: jnp.ndarray,
     p1: jnp.ndarray,
     draw: jnp.ndarray,
     resolution: Tuple[int, int],
     thickness: int = 1,
+    max_visible: int = None,
 ) -> jnp.ndarray:
     """Backend dispatch: the Pallas visible-segment kernel on TPU, the
     tiled jnp formulation elsewhere (trace-time decision; both agree up
     to stroke-boundary ulps, see rasterize_pallas). Accepts (L, E, 2) or
-    batched (B, ..., L, E, 2) segment arrays."""
+    batched (B, ..., L, E, 2) segment arrays. `max_visible` bounds the
+    number of drawn segments per layer-frame (see compact_visible); on
+    CPU it compacts the segment axis before the dense tile test."""
     if jax.default_backend() == "tpu":
         from tinycarlo_tpu.ops.rasterize_pallas import rasterize_masks_pallas
 
-        return rasterize_masks_pallas(p0, p1, draw, resolution, thickness)
+        return rasterize_masks_pallas(
+            p0, p1, draw, resolution, thickness, max_visible=max_visible
+        )
+    if max_visible is not None and max_visible < p0.shape[-2]:
+        p0, p1, draw, _ = compact_visible(p0, p1, draw, max_visible)
     fn = rasterize_masks_tiled
     for _ in range(p0.ndim - 3):
         fn = jax.vmap(fn, in_axes=(0, 0, 0, None, None))
