@@ -84,8 +84,12 @@ def compact_soa(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        live = None  # slots < count are live by construction
         count = jnp.minimum(jnp.sum(draw, axis=-1), k).astype(jnp.int32)
+        # Slots >= count came out of the one-hot routing as all-zero
+        # coordinates (a dot at the origin); kill them via nb == 0 so the
+        # kernel may safely over-iterate (e.g. unrolled segment pairs).
+        slot = jax.lax.broadcasted_iota(jnp.int32, count.shape + (k,), draw.ndim - 1)
+        live = slot < count[..., None]
     else:
         live = draw
         count = jnp.full(draw.shape[:-1], e, jnp.int32)
@@ -101,9 +105,7 @@ def compact_soa(
     yhi = jnp.maximum(ay, by) + rf
     b0 = jnp.clip(jnp.floor(ylo / band), 0.0, n_bands - 1.0).astype(jnp.int32)
     b1 = jnp.clip(jnp.floor(yhi / band), 0.0, n_bands - 1.0).astype(jnp.int32)
-    valid = (yhi >= 0.0) & (ylo <= h - 1.0)
-    if live is not None:
-        valid = valid & live
+    valid = (yhi >= 0.0) & (ylo <= h - 1.0) & live
     nb = jnp.where(valid, b1 + 1 - b0, 0)
     bw = b0 * 256 + nb
     return ax, ay, abx, aby, inv, bw, count
