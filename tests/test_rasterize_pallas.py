@@ -48,7 +48,9 @@ def test_compact_no_limit_keeps_all_slots():
         p0[None], p1[None], draw[None], E, 16, 32, 2
     )
     assert np.all(np.asarray(count) == E)
-    nb = np.asarray(bw) % 256
+    from tinycarlo_tpu.ops import rasterize_pallas as rp
+
+    nb = np.asarray(bw) % rp._NB_PACK
     assert np.all(nb[~np.asarray(draw[None])] == 0)
 
 

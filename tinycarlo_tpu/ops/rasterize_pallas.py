@@ -5,18 +5,22 @@ The jnp rasterizers in `rasterize.py` evaluate the distance test for every
 XLA cannot skip work based on the `draw` mask. This path can: segments are
 compacted to a small slot array in XLA (top_k + one-hot MXU routing), and
 the kernel runs a `fori_loop` with a *dynamic* trip count over only the
-live segments. Per segment it evaluates a fixed number of unconditionally
-executed row *bands* chosen from the segment's y-extent, so the hot loop
-has no data-dependent branches; rare tall segments spill into a dynamic
-tail loop. Work scales with visible segments (typically 5-40 per
-layer-frame) instead of the padded max (hundreds).
+live segments. Per segment it evaluates one *unconditional* `win`-row
+window whose start row is chosen (at `gran`-row granularity) from the
+segment's y-extent during compaction, so the hot loop has a single
+dynamic slice and no data-dependent branches; rare segments taller than
+the window spill into a dynamic tail loop. Work scales with visible
+segments (typically 5-40 per layer-frame) instead of the padded max
+(hundreds).
 
 Measured on a v5e-class chip at 4096 envs x 5 layers x (128,160), ~25
 visible segments/env (see docs/KERNELS.md for the variant ablation):
   dense jnp reference                ~580 ms
   per-segment full-frame fori loop     36 ms   (first kernel)
   + SMEM scalars & 8-row band loop     15 ms
-  + unconditional band slots          8.7 ms   (this kernel)
+  + unconditional 2x16-row band slots 8.7 ms
+  + fused 16-row window, 8-row gran,
+    pair-unrolled segment loop        8.1 ms   (this kernel)
   compaction: one-hot over E          9.5 ms
   top_k to k slots + one-hot route    3.3 ms   (this compaction)
 
@@ -40,13 +44,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tinycarlo_tpu.ops.rasterize import _int_endpoints, _stroke_radius_sq
 
+# Packed band word: bw = b0c * _NB_PACK + nb. Requires ceil(h/gran) <
+# _NB_PACK, i.e. h < 4096 rows at gran=8 -- far above any camera frame.
+_NB_PACK = 512
+
+
+def _window_rows(gran: int, h: int) -> Tuple[int, int, int]:
+    """(n_bands, padded height, window rows) for a given granularity."""
+    n_bands = -(-h // gran)
+    hp = n_bands * gran
+    win = min(2 * gran, hp)
+    return n_bands, hp, win
+
 
 def compact_soa(
     p0: jnp.ndarray,  # (B, L, E, 2) float pixel coords
     p1: jnp.ndarray,
     draw: jnp.ndarray,  # (B, L, E) bool
     k: int,
-    band: int,
+    gran: int,
     h: int,
     thickness: int,
 ):
@@ -54,8 +70,11 @@ def compact_soa(
 
     Returns (ax, ay, abx, aby, inv, bw, count): per-slot f32 endpoint /
     direction / 1/len^2 arrays of shape (B, L, k), a packed int32 band
-    word bw = first_band * 256 + n_bands (n_bands == 0 for segments whose
-    stroke misses the image rows entirely), and (B, L) int32 live counts.
+    word bw = b0c * 512 + nb where b0c is the segment's first `gran`-row
+    band clamped so a `win`-row window starting there stays in frame
+    (Mosaic can then prove the kernel's dynamic row slice is aligned to
+    `gran`), nb its total band count (0 for segments whose stroke misses
+    the image rows entirely), and (B, L) int32 live counts.
 
     The drawn segments are routed to a slot prefix by top_k over a key
     that is strictly decreasing in the original index (stable, no
@@ -64,7 +83,7 @@ def compact_soa(
     Precision.HIGHEST keeps the integer-valued f32 coordinates exact
     (default TPU matmul precision rounds through bf16). With k >= E the
     top_k/gather is skipped entirely and dead slots draw nothing via
-    n_bands == 0.
+    nb == 0.
     """
     a, b = _int_endpoints(p0, p1, jnp.float32)
     segs = jnp.concatenate([a, b], axis=-1).astype(jnp.float32)  # (B,L,E,4)
@@ -100,14 +119,30 @@ def compact_soa(
     inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
 
     rf = float(_stroke_radius_sq(thickness)) ** 0.5
-    n_bands = -(-h // band)
+    n_bands, hp, win = _window_rows(gran, h)
+    assert n_bands < _NB_PACK, "frame too tall for the packed band word"
     ylo = jnp.minimum(ay, by) - rf
     yhi = jnp.maximum(ay, by) + rf
-    b0 = jnp.clip(jnp.floor(ylo / band), 0.0, n_bands - 1.0).astype(jnp.int32)
-    b1 = jnp.clip(jnp.floor(yhi / band), 0.0, n_bands - 1.0).astype(jnp.int32)
+    b0 = jnp.clip(jnp.floor(ylo / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
+    b1 = jnp.clip(jnp.floor(yhi / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
     valid = (yhi >= 0.0) & (ylo <= h - 1.0) & live
     nb = jnp.where(valid, b1 + 1 - b0, 0)
-    bw = b0 * 256 + nb
+    # Clamping the window start is safe: it only moves b0 when the
+    # segment starts within the last window (b0 > n_bands - win/gran),
+    # where nb <= win/gran, so the clamped window still covers every
+    # band through b1 and the tail loop stays empty.
+    b0c = jnp.minimum(b0, (hp - win) // gran)
+    bw = b0c * _NB_PACK + nb
+
+    if ax.shape[-1] % 2:
+        # Pad the slot axis to even so the pair-unrolled kernel can
+        # over-iterate one slot past an odd live count without reading
+        # out of bounds; the pad slot draws nothing via nb == 0.
+        pad = [(0, 0)] * (bw.ndim - 1) + [(0, 1)]
+        ax, ay, abx, aby, inv = (
+            jnp.pad(x, pad) for x in (ax, ay, abx, aby, inv)
+        )
+        bw = jnp.pad(bw, pad)
     return ax, ay, abx, aby, inv, bw, count
 
 
@@ -127,65 +162,91 @@ def _kernel(
     hp,
     w,
     r2,
-    band,
-    slots,
+    gran,
+    win,
+    unroll,
 ):
     """One grid instance rasterizes all layer frames of one env.
 
-    Per segment: scalar SMEM loads of the precomputed SoA, then `slots`
-    *unconditional* band evaluations starting at the (clamped) first
-    band. The distance test is exact per pixel, so evaluating rows
-    outside the segment's true y-extent only re-derives zeros/correct
-    hits -- no masking per band is needed beyond killing nb == 0
-    segments. This keeps the hot loop free of data-dependent branches
-    (measured 23% faster than `pl.when`-guarded slots). Tall segments
-    (nb > slots) finish in a dynamic tail loop that is empty for the
-    typical frame.
+    Per segment: scalar SMEM loads of the precomputed SoA, then one
+    *unconditional* `win`-row window evaluated with a single dynamic
+    row slice starting at the precomputed clamped band. The distance
+    test is exact per pixel, so evaluating rows outside the segment's
+    true y-extent only re-derives zeros/correct hits -- no per-row
+    masking is needed beyond killing nb == 0 segments. This keeps the
+    hot loop free of data-dependent branches (measured 23% faster than
+    `pl.when`-guarded slots, and ~10% faster than two separately sliced
+    16-row slots). Segments taller than the window (nb > win/gran)
+    finish in a dynamic tail loop that is empty for the typical frame.
+
+    With unroll=2 each loop iteration handles a segment pair, giving
+    Mosaic room to overlap one segment's scalar loads with the other's
+    vector work; over-iterating past an odd live count is safe because
+    compact_soa pads the slot axis to even and dead slots carry nb == 0.
     """
-    n_bands = hp // band
-    xs = jax.lax.broadcasted_iota(jnp.int32, (band, w), 1).astype(jnp.float32)
-    ys0 = jax.lax.broadcasted_iota(jnp.int32, (band, w), 0).astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (win, w), 1).astype(jnp.float32)
+    ys0 = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0).astype(jnp.float32)
+    xs_t = jax.lax.broadcasted_iota(jnp.int32, (gran, w), 1).astype(jnp.float32)
+    ys_t = jax.lax.broadcasted_iota(jnp.int32, (gran, w), 0).astype(jnp.float32)
     i = pl.program_id(0)
     for l in range(n_layers):
         scratch[:] = jnp.zeros((hp, w), jnp.float32)
         n = count_ref[i * n_layers + l]
 
-        def seg(s, _):
+        def one_seg(s):
             ax = ax_ref[0, l, s]
             ay = ay_ref[0, l, s]
             abx = abx_ref[0, l, s]
             aby = aby_ref[0, l, s]
             inv = inv_ref[0, l, s]
             bw = bw_ref[0, l, s]
-            b0 = bw // 256
-            nb = bw - b0 * 256
+            b0c = bw // _NB_PACK
+            nb = bw - b0c * _NB_PACK
 
-            def do_band(bi, masked):
-                y0 = bi * band
-                ysf = ys0 + y0.astype(jnp.float32)
-                apx = xs - ax
-                apy = ysf - ay
-                t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
-                dx = apx - t * abx
-                dy = apy - t * aby
-                hit = (dx * dx + dy * dy) <= r2
-                if masked:
-                    hit = hit & (nb > 0)
-                cur = scratch[pl.ds(y0, band), :]
-                scratch[pl.ds(y0, band), :] = jnp.where(hit, 255.0, cur)
-
-            b0c = jnp.minimum(b0, n_bands - slots)
-            for sl in range(slots):
-                do_band(b0c + sl, masked=True)
+            y0 = b0c * gran
+            ysf = ys0 + y0.astype(jnp.float32)
+            apx = xs - ax
+            apy = ysf - ay
+            t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
+            dx = apx - t * abx
+            dy = apy - t * aby
+            hit = ((dx * dx + dy * dy) <= r2) & (nb > 0)
+            cur = scratch[pl.ds(y0, win), :]
+            scratch[pl.ds(y0, win), :] = jnp.where(hit, 255.0, cur)
 
             def tail(bi, _):
-                do_band(bi, masked=False)
+                ty0 = bi * gran
+                tysf = ys_t + ty0.astype(jnp.float32)
+                tapx = xs_t - ax
+                tapy = tysf - ay
+                tt = jnp.clip((tapx * abx + tapy * aby) * inv, 0.0, 1.0)
+                tdx = tapx - tt * abx
+                tdy = tapy - tt * aby
+                thit = (tdx * tdx + tdy * tdy) <= r2
+                tcur = scratch[pl.ds(ty0, gran), :]
+                scratch[pl.ds(ty0, gran), :] = jnp.where(thit, 255.0, tcur)
                 return 0
 
-            jax.lax.fori_loop(b0 + slots, b0 + nb, tail, 0)
-            return 0
+            # Tall segments: bands past the fused window. b0c is only
+            # clamped below b0 when nb <= win/gran (see compact_soa), in
+            # which case this loop is empty, so basing it on b0c is exact.
+            jax.lax.fori_loop(b0c + win // gran, b0c + nb, tail, 0)
 
-        jax.lax.fori_loop(0, n, seg, 0)
+        if unroll == 2:
+
+            def seg(p, _):
+                one_seg(2 * p)
+                one_seg(2 * p + 1)
+                return 0
+
+            jax.lax.fori_loop(0, (n + 1) // 2, seg, 0)
+        else:
+
+            def seg(s, _):
+                one_seg(s)
+                return 0
+
+            jax.lax.fori_loop(0, n, seg, 0)
         # f32 -> int32 -> uint8: the direct f32->uint8 cast miscompiles
         # in Mosaic (values land as garbage), the int32 hop is exact
         out_ref[0, l] = scratch[:h].astype(jnp.int32).astype(jnp.uint8)
@@ -193,23 +254,25 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resolution", "thickness", "band", "slots", "interpret"),
+    static_argnames=("resolution", "thickness", "gran", "unroll", "interpret"),
 )
 def rasterize_compact_soa(
     soa,  # from compact_soa, leading dims (B, L)
     resolution: Tuple[int, int],
     thickness: int = 1,
-    band: int = 16,
-    slots: int = 2,
+    gran: int = 8,
+    unroll: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(B, L, H, W) uint8 masks from a compacted SoA segment bundle."""
+    """(B, L, H, W) uint8 masks from a compacted SoA segment bundle.
+
+    `gran` must match the granularity passed to `compact_soa`.
+    """
     ax, ay, abx, aby, inv, bw, count = soa
     h, w = resolution
     bsz, nl, k = ax.shape
-    n_bands = -(-h // band)
-    slots = max(1, min(slots, n_bands))
-    hp = n_bands * band
+    assert unroll == 1 or k % 2 == 0, "pair unroll needs an even slot count"
+    _, hp, win = _window_rows(gran, h)
     r2 = float(_stroke_radius_sq(thickness))
     kernel = functools.partial(
         _kernel,
@@ -218,8 +281,9 @@ def rasterize_compact_soa(
         hp=hp,
         w=w,
         r2=r2,
-        band=band,
-        slots=slots,
+        gran=gran,
+        win=win,
+        unroll=unroll,
     )
     smem = pl.BlockSpec((1, nl, k), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -258,12 +322,12 @@ def rasterize_masks_pallas(
     nl = p0.shape[-3]
     h, w = resolution
     k = e if max_visible is None else min(max_visible, e)
-    band = 16
+    gran = 8
     p0 = p0.reshape(-1, nl, e, 2)
     p1 = p1.reshape(-1, nl, e, 2)
     draw = draw.reshape(-1, nl, e)
-    soa = compact_soa(p0, p1, draw, k, band, h, thickness)
+    soa = compact_soa(p0, p1, draw, k, gran, h, thickness)
     masks = rasterize_compact_soa(
-        soa, tuple(resolution), thickness, band=band, interpret=interpret
+        soa, tuple(resolution), thickness, gran=gran, interpret=interpret
     )
     return masks.reshape(*lead, nl, h, w)
