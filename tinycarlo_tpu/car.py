@@ -90,6 +90,7 @@ def car_step(
     velocity_cmd: jnp.ndarray,
     steering_cmd: jnp.ndarray,
     maneuver: jnp.ndarray,
+    uturn_hint: jnp.ndarray = None,
 ) -> Tuple[CarState, jnp.ndarray]:
     """One dt of bicycle kinematics + local-path tracking.
 
@@ -164,11 +165,14 @@ def car_step(
         radius=new_radius,
     )
     state = update_position_front(state, cfg)
-    return find_local_path(map_data, state, maneuver)
+    return find_local_path(map_data, state, maneuver, uturn_hint)
 
 
 def find_local_path(
-    map_data: MapData, state: CarState, maneuver: jnp.ndarray
+    map_data: MapData,
+    state: CarState,
+    maneuver: jnp.ndarray,
+    uturn_hint: jnp.ndarray = None,
 ) -> Tuple[CarState, jnp.ndarray]:
     """Masked fixed-shape version of reference find_local_path
     (tinycarlo/car.py:127-148).
@@ -183,6 +187,18 @@ def find_local_path(
     before mutating), while a failed extension keeps the partial path, both
     exactly as the reference does. The reference omits a None check on the
     u-turn re-snap (it would crash); we map that case to truncation.
+
+    `uturn_hint`, if given, must be a traced bool that is True whenever
+    this car *might* be entering a u-turn this step (any upper bound on
+    is_uturn_entry is correct). Its purpose is batching: a vmapped caller
+    passes `jnp.any(entering)` of the whole batch *unbatched* (vmap
+    in_axes=None), which keeps the `lax.cond` below a real conditional,
+    so the O(E) re-snap scan over the lanepath runs only on steps where
+    some env actually switches into maneuver 2 -- exactly the steps the
+    reference pays for it (car.py:130-133). With the default None the
+    scan runs unconditionally: a per-car cond would turn into a
+    both-branches select under vmap anyway, and measured ~4x slower than
+    the straight-line scan at 4096 envs.
     """
     lp = map_data.lanepath
     maneuver = jnp.asarray(maneuver, jnp.int32)
@@ -193,10 +209,19 @@ def find_local_path(
 
     is_uturn_entry = (maneuver == 2) & (state.last_maneuver != 2)
 
-    # U-turn re-snap (car.py:130-133).
-    ut_idx = geo.nearest_edge_with_orientation_idx(
-        lp.nodes, lp.edges, lp.edge_mask, state.position_front, base_dir
-    )
+    # U-turn re-snap (car.py:130-133), gated so the full-lanepath scan
+    # only runs on steps where it can matter.
+    def _resnap():
+        return geo.nearest_edge_with_orientation_idx(
+            lp.nodes, lp.edges, lp.edge_mask, state.position_front, base_dir
+        ).astype(jnp.int32)
+
+    if uturn_hint is None:
+        ut_idx = _resnap()
+    else:
+        ut_idx = jax.lax.cond(
+            uturn_hint, _resnap, lambda: jnp.asarray(-1, jnp.int32)
+        )
     ut_edge = lp.edges[jnp.maximum(ut_idx, 0)]
     ut_valid = ut_idx >= 0
 

@@ -225,13 +225,15 @@ def step(
     action: Dict[str, jnp.ndarray],
     render: bool = True,
     wrapped: bool = False,
+    uturn_hint: jnp.ndarray = None,
 ):
     """One environment step. Reference: env.py:115-146.
 
     `action` = {"car_control": (2,) in [-1,1], "maneuver": () int32}.
     `wrapped=True` reproduces the reference's wrapper flag (env.py:136-138):
     default reward/termination are disabled and the caller's wrapper stack
-    supplies them.
+    supplies them. `uturn_hint` gates the u-turn re-snap scan for batched
+    callers (see car.find_local_path).
     """
     control = jnp.clip(action["car_control"], -1.0, 1.0)  # env.py:118
     car_state, truncated = car_mod.car_step(
@@ -242,6 +244,7 @@ def step(
         control[0],
         control[1],
         action["maneuver"],
+        uturn_hint,
     )
     state = state.replace(car=car_state)
     obs = (

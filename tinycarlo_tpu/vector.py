@@ -90,18 +90,25 @@ def step(
     )
     stack = stack or WrapperStack()
 
-    def one(env_state, counters, a):
+    def one(env_state, counters, a, uturn_hint):
         env_state, _, reward, terminated, truncated, info = fenv.step(
-            params, env_state, a, render=False, wrapped=wrapped
+            params, env_state, a, render=False, wrapped=wrapped,
+            uturn_hint=uturn_hint,
         )
         reward, terminated, counters = stack.apply(
             info, reward, terminated, counters
         )
         return env_state, counters, reward, terminated, truncated, info
 
-    env_state, counters, reward, terminated, truncated, info = jax.vmap(one)(
-        state.env, state.counters, action
-    )
+    # Batch-level u-turn gate: the O(E) re-snap scan inside car_step runs
+    # only on steps where some env switches into maneuver 2. Passed
+    # unbatched (in_axes=None) so the lax.cond stays a real conditional
+    # under vmap.
+    man = jnp.asarray(action["maneuver"], jnp.int32)
+    any_uturn_entry = jnp.any((man == 2) & (state.env.car.last_maneuver != 2))
+    env_state, counters, reward, terminated, truncated, info = jax.vmap(
+        one, in_axes=(0, 0, 0, None)
+    )(state.env, state.counters, action, any_uturn_entry)
 
     episode_step = state.episode_step + 1
     if max_episode_steps is not None:
