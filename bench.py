@@ -140,7 +140,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "env-steps/s/chip at 4096 envs (classes obs, Stanley)",
+                "metric": f"env-steps/s/chip at {N_ENVS} envs (classes obs, Stanley)",
                 "value": round(ours_sps, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(ours_sps / ref_sps, 2),

@@ -22,36 +22,48 @@ def _random_case(seed, L=3, E=24, H=32, W=48, frac=0.5):
 
 
 def test_compact_preserves_all_drawn():
+    """Live slot prefix holds every drawn segment: shorts first then talls,
+    original order within each class (rasterization is an OR, so the
+    reordering is output-neutral)."""
     p0, p1, draw = _random_case(0)
     k = 16
-    ax, ay, abx, aby, inv, bw, count = compact_soa(
+    ax, ay, abx, aby, inv, bw, counts = compact_soa(
         p0[None], p1[None], draw[None], k, 16, 32, 2
     )
+    L = draw.shape[0]
     n_drawn = np.asarray(draw.sum(axis=-1))
-    np.testing.assert_array_equal(np.asarray(count)[0], np.minimum(n_drawn, k))
+    n_all = np.asarray(counts)[0].reshape(1, L)[0]
+    np.testing.assert_array_equal(n_all, np.minimum(n_drawn, k))
     a, b = ras._int_endpoints(p0, p1, jnp.float32)
     a, b = np.asarray(a), np.asarray(b)
-    for l in range(draw.shape[0]):
+    for l in range(L):
         m = np.asarray(draw[l])
-        np.testing.assert_array_equal(np.asarray(ax)[0, l, : n_drawn[l]], a[l][m][:k, 0])
-        np.testing.assert_array_equal(np.asarray(ay)[0, l, : n_drawn[l]], a[l][m][:k, 1])
-        np.testing.assert_array_equal(
-            np.asarray(abx)[0, l, : n_drawn[l]], (b - a)[l][m][:k, 0]
+        got = set(
+            zip(
+                np.asarray(ax)[0, l, : n_all[l]].tolist(),
+                np.asarray(ay)[0, l, : n_all[l]].tolist(),
+            )
         )
+        want = set(zip(a[l][m][:, 0].tolist(), a[l][m][:, 1].tolist()))
+        assert got == want
 
 
 def test_compact_no_limit_keeps_all_slots():
-    """k >= E: no top_k; dead slots are disabled via a zero band count."""
+    """k >= E: sort-based ordering; drawn segments fill the live prefix
+    and dead slots are disabled via a zero band count."""
     p0, p1, draw = _random_case(1)
     E = p0.shape[1]
-    ax, ay, abx, aby, inv, bw, count = compact_soa(
+    ax, ay, abx, aby, inv, bw, counts = compact_soa(
         p0[None], p1[None], draw[None], E, 16, 32, 2
     )
-    assert np.all(np.asarray(count) == E)
+    L = draw.shape[0]
+    n_all = np.asarray(counts)[0].reshape(1, L)[0]
+    np.testing.assert_array_equal(n_all, np.asarray(draw.sum(axis=-1)))
     from tinycarlo_tpu.ops import rasterize_pallas as rp
 
     nb = np.asarray(bw) % rp._NB_PACK
-    assert np.all(nb[~np.asarray(draw[None])] == 0)
+    for l in range(L):
+        assert np.all(nb[0, l, n_all[l] :] == 0)
 
 
 def _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, thickness):

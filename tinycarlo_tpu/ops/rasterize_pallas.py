@@ -4,14 +4,15 @@ The jnp rasterizers in `rasterize.py` evaluate the distance test for every
 (pixel, segment) pair including the ~90% of padded/invisible segments --
 XLA cannot skip work based on the `draw` mask. This path can: segments are
 compacted to a small slot array in XLA (top_k + one-hot MXU routing), and
-the kernel runs a `fori_loop` with a *dynamic* trip count over only the
+the kernel runs `fori_loop`s with *dynamic* trip counts over only the
 live segments. Per segment it evaluates one *unconditional* `win`-row
 window whose start row is chosen (at `gran`-row granularity) from the
 segment's y-extent during compaction, so the hot loop has a single
-dynamic slice and no data-dependent branches; rare segments taller than
-the window spill into a dynamic tail loop. Work scales with visible
-segments (typically 5-40 per layer-frame) instead of the padded max
-(hundreds).
+dynamic slice and no data-dependent branches. Segments taller than the
+window are ordered to a suffix of the slot array and handled by a second
+loop with a dynamic per-band tail, so the short-segment majority pays no
+tail-loop mechanics at all. Work scales with visible segments (typically
+5-40 per layer-frame) instead of the padded max (hundreds).
 
 Measured on a v5e-class chip at 4096 envs x 5 layers x (128,160), ~25
 visible segments/env (see docs/KERNELS.md for the variant ablation):
@@ -20,7 +21,7 @@ visible segments/env (see docs/KERNELS.md for the variant ablation):
   + SMEM scalars & 8-row band loop     15 ms
   + unconditional 2x16-row band slots 8.7 ms
   + fused 16-row window, 8-row gran,
-    pair-unrolled segment loop        8.1 ms   (this kernel)
+    pair-unrolled + short/tall tiers  7.8 ms   (this kernel)
   compaction: one-hot over E          9.5 ms
   top_k to k slots + one-hot route    3.3 ms   (this compaction)
 
@@ -46,6 +47,8 @@ from tinycarlo_tpu.ops.rasterize import _int_endpoints, _stroke_radius_sq
 
 # Packed band word: bw = b0c * _NB_PACK + nb. Requires ceil(h/gran) <
 # _NB_PACK, i.e. h < 4096 rows at gran=8 -- far above any camera frame.
+# The word stays exactly representable in f32 (needed because it rides
+# through the routing matmul): max value ~ 512 * 512 < 2^24.
 _NB_PACK = 512
 
 
@@ -68,82 +71,93 @@ def compact_soa(
 ):
     """Compact drawn segments into k slots, split into scalar-friendly SoA.
 
-    Returns (ax, ay, abx, aby, inv, bw, count): per-slot f32 endpoint /
+    Returns (ax, ay, abx, aby, inv, bw, counts): per-slot f32 endpoint /
     direction / 1/len^2 arrays of shape (B, L, k), a packed int32 band
     word bw = b0c * 512 + nb where b0c is the segment's first `gran`-row
     band clamped so a `win`-row window starting there stays in frame
     (Mosaic can then prove the kernel's dynamic row slice is aligned to
     `gran`), nb its total band count (0 for segments whose stroke misses
-    the image rows entirely), and (B, L) int32 live counts.
+    the image rows entirely), and a (2, B*L) int32 count bundle
+    [live count, short count].
 
-    The drawn segments are routed to a slot prefix by top_k over a key
-    that is strictly decreasing in the original index (stable, no
-    tie-breaking assumptions) followed by a one-hot matmul on the MXU --
-    measured 3x faster than XLA's take_along_axis gather at this shape.
-    Precision.HIGHEST keeps the integer-valued f32 coordinates exact
-    (default TPU matmul precision rounds through bf16). With k >= E the
-    top_k/gather is skipped entirely and dead slots draw nothing via
-    nb == 0.
+    Routing: one `lax.top_k` over a key that orders drawn-short segments
+    first, then drawn-tall (nb > win/gran), then padding -- original
+    order within each class (rasterization is an OR, so reordering is
+    free) -- followed by a one-hot matmul on the MXU, measured 3x faster
+    than XLA's take_along_axis gather at this shape. The band word is
+    computed per edge *before* routing and rides through the matmul as a
+    5th column. Precision.HIGHEST keeps the integer-valued f32 values
+    exact (default TPU matmul precision rounds through bf16). With
+    k >= E the routing matmul is replaced by an in-place stable
+    short-first ordering of the full slot array.
+
+    Over-subscription (more drawn segments than k) drops short segments
+    last; the default k = E (`rasterize_masks_pallas` with
+    max_visible=None) never drops anything.
     """
     a, b = _int_endpoints(p0, p1, jnp.float32)
-    segs = jnp.concatenate([a, b], axis=-1).astype(jnp.float32)  # (B,L,E,4)
-    bsz, nl, e, _ = segs.shape
-    if k < e:
-        iota = jax.lax.broadcasted_iota(jnp.int32, draw.shape, 2)
-        key = jnp.where(draw, e - iota, -iota)
-        _, idx = jax.lax.top_k(key, k)  # (B, L, k)
-        onehot = (
-            idx[..., None]
-            == jax.lax.broadcasted_iota(jnp.int32, (bsz, nl, k, e), 3)
-        ).astype(jnp.float32)
-        segs = jnp.einsum(
-            "blke,blef->blkf",
-            onehot,
-            segs,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        count = jnp.minimum(jnp.sum(draw, axis=-1), k).astype(jnp.int32)
-        # Slots >= count came out of the one-hot routing as all-zero
-        # coordinates (a dot at the origin); kill them via nb == 0 so the
-        # kernel may safely over-iterate (e.g. unrolled segment pairs).
-        slot = jax.lax.broadcasted_iota(jnp.int32, count.shape + (k,), draw.ndim - 1)
-        live = slot < count[..., None]
-    else:
-        live = draw
-        count = jnp.full(draw.shape[:-1], e, jnp.int32)
-
-    ax, ay, bx, by = segs[..., 0], segs[..., 1], segs[..., 2], segs[..., 3]
-    abx, aby = bx - ax, by - ay
-    denom = abx * abx + aby * aby
-    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+    bsz, nl, e, _ = a.shape
+    ax0, ay0, bx0, by0 = a[..., 0], a[..., 1], b[..., 0], b[..., 1]
 
     rf = float(_stroke_radius_sq(thickness)) ** 0.5
     n_bands, hp, win = _window_rows(gran, h)
     assert n_bands < _NB_PACK, "frame too tall for the packed band word"
-    ylo = jnp.minimum(ay, by) - rf
-    yhi = jnp.maximum(ay, by) + rf
+    ylo = jnp.minimum(ay0, by0) - rf
+    yhi = jnp.maximum(ay0, by0) + rf
     b0 = jnp.clip(jnp.floor(ylo / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
     b1 = jnp.clip(jnp.floor(yhi / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
-    valid = (yhi >= 0.0) & (ylo <= h - 1.0) & live
+    valid = (yhi >= 0.0) & (ylo <= h - 1.0) & draw
     nb = jnp.where(valid, b1 + 1 - b0, 0)
     # Clamping the window start is safe: it only moves b0 when the
     # segment starts within the last window (b0 > n_bands - win/gran),
     # where nb <= win/gran, so the clamped window still covers every
     # band through b1 and the tail loop stays empty.
     b0c = jnp.minimum(b0, (hp - win) // gran)
-    bw = b0c * _NB_PACK + nb
+    bwf = (b0c * _NB_PACK + nb).astype(jnp.float32)
+
+    tall = nb > win // gran
+    iota = jax.lax.broadcasted_iota(jnp.int32, draw.shape, 2)
+    key = jnp.where(draw, jnp.where(tall, e - iota, 2 * e - iota), -iota)
+    n_all = jnp.minimum(jnp.sum(draw, axis=-1), k).astype(jnp.int32)
+    n_short = jnp.minimum(jnp.sum(draw & ~tall, axis=-1), k).astype(jnp.int32)
+
+    segs = jnp.stack([ax0, ay0, bx0, by0, bwf], axis=-1)  # (B,L,E,5)
+    if k < e:
+        _, idx = jax.lax.top_k(key, k)  # (B, L, k)
+        onehot = (
+            idx[..., None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bsz, nl, k, e), 3)
+        ).astype(jnp.float32)
+        comp = jnp.einsum(
+            "blke,blef->blkf",
+            onehot,
+            segs,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        # Full slot array: stable short-first ordering via sort by -key
+        # (cheaper than a k = E routing matmul, still one fused sort).
+        order = jnp.argsort(-key, axis=-1)
+        comp = jnp.take_along_axis(segs, order[..., None], axis=2)
+
+    ax, ay, bx, by = comp[..., 0], comp[..., 1], comp[..., 2], comp[..., 3]
+    bw = comp[..., 4].astype(jnp.int32)
+    abx, aby = bx - ax, by - ay
+    denom = abx * abx + aby * aby
+    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
 
     if ax.shape[-1] % 2:
         # Pad the slot axis to even so the pair-unrolled kernel can
-        # over-iterate one slot past an odd live count without reading
+        # over-iterate one slot past an odd short count without reading
         # out of bounds; the pad slot draws nothing via nb == 0.
         pad = [(0, 0)] * (bw.ndim - 1) + [(0, 1)]
         ax, ay, abx, aby, inv = (
             jnp.pad(x, pad) for x in (ax, ay, abx, aby, inv)
         )
         bw = jnp.pad(bw, pad)
-    return ax, ay, abx, aby, inv, bw, count
+    counts = jnp.stack([n_all.reshape(-1), n_short.reshape(-1)])
+    return ax, ay, abx, aby, inv, bw, counts
 
 
 def _kernel(
@@ -164,7 +178,6 @@ def _kernel(
     r2,
     gran,
     win,
-    unroll,
 ):
     """One grid instance rasterizes all layer frames of one env.
 
@@ -174,15 +187,16 @@ def _kernel(
     test is exact per pixel, so evaluating rows outside the segment's
     true y-extent only re-derives zeros/correct hits -- no per-row
     masking is needed beyond killing nb == 0 segments. This keeps the
-    hot loop free of data-dependent branches (measured 23% faster than
+    hot loops free of data-dependent branches (measured 23% faster than
     `pl.when`-guarded slots, and ~10% faster than two separately sliced
-    16-row slots). Segments taller than the window (nb > win/gran)
-    finish in a dynamic tail loop that is empty for the typical frame.
+    16-row slots).
 
-    With unroll=2 each loop iteration handles a segment pair, giving
-    Mosaic room to overlap one segment's scalar loads with the other's
-    vector work; over-iterating past an odd live count is safe because
-    compact_soa pads the slot axis to even and dead slots carry nb == 0.
+    Short segments (the ~80% with nb <= win/gran, ordered to the slot
+    prefix by compaction) run in a pair-unrolled loop with no tail
+    construct at all; tall segments (slot suffix) run singly with a
+    dynamic per-band tail. The short pair loop may over-run one slot
+    into the tall suffix on an odd short count -- harmless, the window
+    redraw is idempotent and the tall loop re-covers that slot.
     """
     xs = jax.lax.broadcasted_iota(jnp.int32, (win, w), 1).astype(jnp.float32)
     ys0 = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0).astype(jnp.float32)
@@ -191,9 +205,10 @@ def _kernel(
     i = pl.program_id(0)
     for l in range(n_layers):
         scratch[:] = jnp.zeros((hp, w), jnp.float32)
-        n = count_ref[i * n_layers + l]
+        n = count_ref[0, i * n_layers + l]
+        ns = count_ref[1, i * n_layers + l]
 
-        def one_seg(s):
+        def window(s):
             ax = ax_ref[0, l, s]
             ay = ay_ref[0, l, s]
             abx = abx_ref[0, l, s]
@@ -213,6 +228,17 @@ def _kernel(
             hit = ((dx * dx + dy * dy) <= r2) & (nb > 0)
             cur = scratch[pl.ds(y0, win), :]
             scratch[pl.ds(y0, win), :] = jnp.where(hit, 255.0, cur)
+            return ax, ay, abx, aby, inv, b0c, nb
+
+        def short_pair(p, _):
+            window(2 * p)
+            window(2 * p + 1)
+            return 0
+
+        jax.lax.fori_loop(0, (ns + 1) // 2, short_pair, 0)
+
+        def tall_one(s, _):
+            ax, ay, abx, aby, inv, b0c, nb = window(s)
 
             def tail(bi, _):
                 ty0 = bi * gran
@@ -229,24 +255,12 @@ def _kernel(
 
             # Tall segments: bands past the fused window. b0c is only
             # clamped below b0 when nb <= win/gran (see compact_soa), in
-            # which case this loop is empty, so basing it on b0c is exact.
+            # which case this segment is short, so basing the tail on
+            # b0c is exact here.
             jax.lax.fori_loop(b0c + win // gran, b0c + nb, tail, 0)
+            return 0
 
-        if unroll == 2:
-
-            def seg(p, _):
-                one_seg(2 * p)
-                one_seg(2 * p + 1)
-                return 0
-
-            jax.lax.fori_loop(0, (n + 1) // 2, seg, 0)
-        else:
-
-            def seg(s, _):
-                one_seg(s)
-                return 0
-
-            jax.lax.fori_loop(0, n, seg, 0)
+        jax.lax.fori_loop(ns, n, tall_one, 0)
         # f32 -> int32 -> uint8: the direct f32->uint8 cast miscompiles
         # in Mosaic (values land as garbage), the int32 hop is exact
         out_ref[0, l] = scratch[:h].astype(jnp.int32).astype(jnp.uint8)
@@ -254,24 +268,22 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("resolution", "thickness", "gran", "unroll", "interpret"),
+    static_argnames=("resolution", "thickness", "gran", "interpret"),
 )
 def rasterize_compact_soa(
     soa,  # from compact_soa, leading dims (B, L)
     resolution: Tuple[int, int],
     thickness: int = 1,
     gran: int = 8,
-    unroll: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, L, H, W) uint8 masks from a compacted SoA segment bundle.
 
     `gran` must match the granularity passed to `compact_soa`.
     """
-    ax, ay, abx, aby, inv, bw, count = soa
+    ax, ay, abx, aby, inv, bw, counts = soa
     h, w = resolution
     bsz, nl, k = ax.shape
-    assert unroll == 1 or k % 2 == 0, "pair unroll needs an even slot count"
     _, hp, win = _window_rows(gran, h)
     r2 = float(_stroke_radius_sq(thickness))
     kernel = functools.partial(
@@ -283,11 +295,10 @@ def rasterize_compact_soa(
         r2=r2,
         gran=gran,
         win=win,
-        unroll=unroll,
     )
     smem = pl.BlockSpec((1, nl, k), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # the flat (B*L,) count vector lands in SMEM
+        num_scalar_prefetch=1,  # the (2, B*L) count bundle lands in SMEM
         grid=(bsz,),
         in_specs=[smem] * 6,
         out_specs=pl.BlockSpec((1, nl, h, w), lambda i, c: (i, 0, 0, 0)),
@@ -298,7 +309,7 @@ def rasterize_compact_soa(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, nl, h, w), jnp.uint8),
         interpret=interpret,
-    )(count.reshape(-1), ax, ay, abx, aby, inv, bw)
+    )(counts, ax, ay, abx, aby, inv, bw)
 
 
 def rasterize_masks_pallas(
