@@ -131,6 +131,61 @@ def test_bit_equal_real_frame():
     assert np.asarray(got).sum() > 0
 
 
+def test_tall_heavy_frame():
+    """Mostly near-vertical segments: exercises the tall-suffix loop and
+    the short-pair loop's over-run into the tall tier on odd counts."""
+    rng = np.random.default_rng(7)
+    L, E, H, W = 2, 20, 64, 48
+    x = rng.uniform(0, W, (L, E, 1))
+    y0 = rng.uniform(-5, H, (L, E, 1))
+    dy = rng.uniform(20, 60, (L, E, 1))
+    p0 = jnp.asarray(np.concatenate([x, y0], -1), jnp.float32)
+    p1 = jnp.asarray(np.concatenate([x + rng.uniform(-2, 2, (L, E, 1)), y0 + dy], -1), jnp.float32)
+    # odd drawn counts per layer to hit the pair-loop over-run
+    draw = jnp.asarray(np.arange(E)[None, :] < np.asarray([[7], [13]]))
+    expected = ras.rasterize_masks(p0, p1, draw, (H, W), 2)
+    got = rasterize_masks_pallas(p0, p1, draw, (H, W), 2, interpret=True)
+    _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, 2)
+    assert np.asarray(got).sum() > 0
+
+
+def test_height_not_multiple_of_granularity():
+    """h % 8 != 0: the padded-scratch rows past h must not corrupt output
+    and bottom-of-frame windows must still cover the last rows."""
+    p0, p1, draw = _random_case(9, H=30, W=40)
+    expected = ras.rasterize_masks(p0, p1, draw, (30, 40), 2)
+    got = rasterize_masks_pallas(p0, p1, draw, (30, 40), 2, interpret=True)
+    _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, 2)
+
+
+def test_max_visible_oversubscribed_short_first():
+    """More drawn segments than slots: shorts are kept first; output must
+    equal the jnp reference restricted to the kept segments."""
+    rng = np.random.default_rng(11)
+    L, E, H, W, k = 1, 16, 32, 48, 4
+    p0 = jnp.asarray(rng.uniform(0, W, (L, E, 2)), jnp.float32)
+    p1 = jnp.asarray(p0 + rng.uniform(-6, 6, (L, E, 2)), jnp.float32)
+    draw = jnp.ones((L, E), bool)
+    got = rasterize_masks_pallas(p0, p1, draw, (H, W), 1, max_visible=k, interpret=True)
+    from tinycarlo_tpu.ops.rasterize_pallas import _NB_PACK, _window_rows, compact_soa
+
+    soa = compact_soa(p0[None], p1[None], draw[None], k, 8, H, 1)
+    ax, ay = np.asarray(soa[0])[0, 0], np.asarray(soa[1])[0, 0]
+    # reconstruct which originals were kept (endpoint match) and compare
+    a, b = ras._int_endpoints(p0, p1, jnp.float32)
+    kept = np.zeros(E, bool)
+    for s in range(k):
+        for e in range(E):
+            if not kept[e] and a[0, e, 0] == ax[s] and a[0, e, 1] == ay[s]:
+                kept[e] = True
+                break
+    assert kept.sum() == k
+    expected = ras.rasterize_masks(p0, p1, jnp.asarray(kept[None, :]), (H, W), 1)
+    _assert_equal_up_to_stroke_boundary(
+        got, expected, p0, p1, jnp.asarray(kept[None, :]), 1
+    )
+
+
 def test_batched_leading_dims():
     p0, p1, draw = _random_case(4)
     p0b = jnp.stack([p0, p0 + 1])
