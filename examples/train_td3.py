@@ -110,7 +110,9 @@ if __name__ == "__main__":
         c2_hist += list(out["critic2_loss"])
         a_hist += [x for x in out["actor_loss"] if x != 0.0]
         rew_hist.append(float(out["reward"].sum() / max(1, out["done"].sum())))
-        sps = (i + 1) * chunk_steps * n_envs / (time.perf_counter() - st)
+        now = time.perf_counter()
+        sps = chunk_steps * n_envs / (now - st)  # this chunk only, so the
+        st = now  # first chunk's compile time doesn't drown the steady rate
         print(
             f"chunk {i+1}/{n_chunks} | {sps:,.0f} env-steps/s | "
             f"c1 {tlog.avg_w(c1_hist):.3f} | rew/ep {rew_hist[-1]:.2f} | "
