@@ -99,7 +99,10 @@ def measure_ours() -> float:
     st = time.perf_counter()
     for _ in range(REPEATS):
         vstate, info, checksum, _ = rollout(vstate, info)
-    jax.block_until_ready(checksum)
+    # End timing on a forced host transfer: the tunneled TPU backend can
+    # resolve block_until_ready before execution completes, which
+    # silently inflates throughput; int() must wait for the real value.
+    assert int(checksum) > 0
     dt = time.perf_counter() - st
     return N_ENVS * CHUNK * REPEATS / dt
 

@@ -203,10 +203,9 @@ def _kernel(
     xs_t = jax.lax.broadcasted_iota(jnp.int32, (gran, w), 1).astype(jnp.float32)
     ys_t = jax.lax.broadcasted_iota(jnp.int32, (gran, w), 0).astype(jnp.float32)
     i = pl.program_id(0)
-    for l in range(n_layers):
+
+    def frame(l, n, ns):
         scratch[:] = jnp.zeros((hp, w), jnp.float32)
-        n = count_ref[0, i * n_layers + l]
-        ns = count_ref[1, i * n_layers + l]
 
         def window(s):
             ax = ax_ref[0, l, s]
@@ -264,6 +263,22 @@ def _kernel(
         # f32 -> int32 -> uint8: the direct f32->uint8 cast miscompiles
         # in Mosaic (values land as garbage), the int32 hop is exact
         out_ref[0, l] = scratch[:h].astype(jnp.int32).astype(jnp.uint8)
+
+    for l in range(n_layers):
+        n = count_ref[0, i * n_layers + l]
+        ns = count_ref[1, i * n_layers + l]
+
+        # Empty frames (realistic workloads: ~50%+ of (env, layer)
+        # frames -- rear/far layers are usually fully clipped) skip the
+        # f32 scratch zero + convert entirely and write the uint8 zeros
+        # directly: 4x less vector write work per skipped frame.
+        @pl.when(n == 0)
+        def _empty(l=l):
+            out_ref[0, l] = jnp.zeros((h, w), jnp.uint8)
+
+        @pl.when(n > 0)
+        def _live(l=l, n=n, ns=ns):
+            frame(l, n, ns)
 
 
 @functools.partial(
