@@ -99,11 +99,21 @@ def main():
     print(f"batch {p0np.shape}: {live.mean():.2f} live segs/frame, "
           f"{(live == 0).mean() * 100:.1f}% empty frames, mode={mode}")
 
+    nl = p0np.shape[1]
+
     @functools.partial(jax.jit, static_argnames=("mode", "iters"))
     def loop(p0, p1, draw, mode, iters):
         def body(c, i):
-            soa = rp.compact_soa(
-                p0 + i * 0.001, p1 + i * 0.001, draw, K, GRAN, H, THICK)
+            a, b = p0 + i * 0.001, p1 + i * 0.001
+            if mode in ("env", "envcompact"):
+                soa = rp.compact_env_soa(a, b, draw, K, GRAN, H, THICK)
+                if mode == "envcompact":
+                    s = sum(jnp.sum(x.astype(jnp.float32)) for x in soa)
+                    return c + s.astype(jnp.uint32), None
+                out = rp.rasterize_compact_env_soa(
+                    soa, nl, (H, W), THICK, gran=GRAN)
+                return c + jnp.sum(out.astype(jnp.uint32)), None
+            soa = rp.compact_soa(a, b, draw, K, GRAN, H, THICK)
             if mode == "compact":
                 s = sum(jnp.sum(x.astype(jnp.float32)) for x in soa)
                 return c + s.astype(jnp.uint32), None

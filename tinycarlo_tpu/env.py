@@ -152,17 +152,22 @@ def render_observation_batch(
         states.car.position, states.car.rotation
     )
     pose = jnp.einsum("ij,bjk->bik", params.camera.E, body)  # (B, 3, 4)
+    # Packed edge axis (all layers' real edges concatenated): projection
+    # and compaction scan sum(E_l) slots instead of L * max(E_l) -- ~3x
+    # fewer on reference maps, whose per-layer edge counts are skewed.
     p0, p1, draw = cam.project_layers_batch(
-        md.laneline_nodes,
-        md.laneline_edges,
-        md.laneline_edge_mask,
+        md.packed_nodes,
+        md.packed_edges,
+        md.packed_edge_mask,
         pose,
         params.camera.K,
         cfg.camera.resolution,
         cfg.camera.max_range,
-    )
-    masks = ras.rasterize_masks_auto(
-        p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness,
+    )  # (B, 1, Ep, 2) x2, (B, 1, Ep)
+    p0, p1, draw = p0[:, 0], p1[:, 0], draw[:, 0]
+    masks = ras.rasterize_masks_packed_auto(
+        p0, p1, draw, md.packed_edge_layer, md.n_layers,
+        cfg.camera.resolution, cfg.camera.line_thickness,
         max_visible=cfg.camera.max_visible_segments,
     )
     if fmt == "classes":

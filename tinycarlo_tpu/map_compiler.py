@@ -87,6 +87,18 @@ class MapData:
     lanepath: LanePathArrays
     spawns: SpawnTable
     dimension: jnp.ndarray  # (2,) float: (height, width) meters
+    # Packed (ragged-free) view of the laneline layers for the camera
+    # pipeline: every layer's REAL nodes/edges concatenated, so projection
+    # and segment compaction scan sum(E_l) slots instead of L * max(E_l).
+    # On reference maps the per-layer edge counts are highly skewed
+    # (simple_layout: 192+65+3+3+1 = 264 real edges vs 5*192 = 960 padded
+    # slots), making the packed axis ~3x cheaper. Shapes carry a leading
+    # pseudo-layer axis of 1 so `camera.project_layers_batch` can be
+    # reused unchanged.
+    packed_nodes: jnp.ndarray = None  # (1, Np, 2)
+    packed_edges: jnp.ndarray = None  # (1, Ep, 2) int32 into packed nodes
+    packed_edge_mask: jnp.ndarray = None  # (1, Ep) bool
+    packed_edge_layer: jnp.ndarray = None  # (Ep,) int32 layer id per edge
     laneline_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
     pixel_per_meter: int = struct.field(pytree_node=False, default=1)
 
@@ -247,11 +259,39 @@ def compile_map_data(
         count=s,
     )
 
+    # Packed camera view: real (unpadded) nodes/edges of all layers
+    # concatenated, edges re-indexed into the packed node table.
+    pk_nodes, pk_edges, pk_lay, node_off = [], [], [], 0
+    for li, l in enumerate(layer_arrays):
+        pk_nodes.append(l.nodes[: l.n_nodes])
+        pk_edges.append(l.edges[: l.n_edges] + node_off)
+        pk_lay.append(np.full(l.n_edges, li, dtype=np.int32))
+        node_off += l.n_nodes
+    pk_nodes = np.concatenate(pk_nodes) if pk_nodes else np.zeros((0, 2), dtype)
+    pk_edges = (
+        np.concatenate(pk_edges) if pk_edges else np.zeros((0, 2), np.int32)
+    )
+    pk_lay = np.concatenate(pk_lay) if pk_lay else np.zeros((0,), np.int32)
+    np_, ep = _round_up(len(pk_nodes)), _round_up(len(pk_edges))
+    packed_nodes = np.zeros((np_, 2), dtype=pk_nodes.dtype)
+    packed_nodes[: len(pk_nodes)] = pk_nodes
+    if len(pk_nodes):
+        packed_nodes[len(pk_nodes):] = pk_nodes[0]
+    packed_edges = np.zeros((ep, 2), np.int32)
+    packed_edges[: len(pk_edges)] = pk_edges
+    packed_edge_mask = np.arange(ep) < len(pk_edges)
+    packed_edge_layer = np.zeros((ep,), np.int32)
+    packed_edge_layer[: len(pk_lay)] = pk_lay
+
     map_data = MapData(
         laneline_nodes=np.stack([l.nodes for l in layer_arrays]),
         laneline_node_mask=np.stack([l.node_mask for l in layer_arrays]),
         laneline_edges=np.stack([l.edges for l in layer_arrays]),
         laneline_edge_mask=np.stack([l.edge_mask for l in layer_arrays]),
+        packed_nodes=packed_nodes[None].astype(dtype),
+        packed_edges=packed_edges[None],
+        packed_edge_mask=packed_edge_mask[None],
+        packed_edge_layer=packed_edge_layer,
         laneline_colors=colors,
         lanepath=lanepath,
         spawns=spawns,

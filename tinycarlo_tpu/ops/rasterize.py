@@ -190,6 +190,42 @@ def rasterize_masks_auto(
     return fn(p0, p1, draw, resolution, thickness)
 
 
+def rasterize_masks_packed_auto(
+    p0: jnp.ndarray,  # (..., E, 2) packed edge axis (all layers concat)
+    p1: jnp.ndarray,
+    draw: jnp.ndarray,  # (..., E)
+    edge_layer: jnp.ndarray,  # (E,) int32
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    max_visible: int = None,
+) -> jnp.ndarray:
+    """Packed-edge-axis variant of `rasterize_masks_auto` (see
+    map_compiler packed_* arrays): (..., n_layers, H, W) masks. On TPU
+    this feeds the env-merged Pallas kernel directly; elsewhere the
+    packed axis is expanded to per-layer draw masks (broadcast views,
+    no materialized copies) for the tiled path."""
+    if jax.default_backend() == "tpu":
+        from tinycarlo_tpu.ops.rasterize_pallas import (
+            rasterize_masks_packed_pallas,
+        )
+
+        return rasterize_masks_packed_pallas(
+            p0, p1, draw, edge_layer, n_layers, resolution, thickness,
+            max_visible=max_visible,
+        )
+    e = edge_layer.shape[0]
+    lay = edge_layer[None, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (n_layers, e), 0
+    )  # (L, E)
+    draw_l = draw[..., None, :] & lay
+    p0_l = jnp.broadcast_to(p0[..., None, :, :], draw_l.shape + (2,))
+    p1_l = jnp.broadcast_to(p1[..., None, :, :], draw_l.shape + (2,))
+    return rasterize_masks_auto(
+        p0_l, p1_l, draw_l, resolution, thickness, max_visible=max_visible
+    )
+
+
 def rasterize_masks_tiled(
     p0: jnp.ndarray,
     p1: jnp.ndarray,

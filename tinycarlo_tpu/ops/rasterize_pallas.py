@@ -327,6 +327,317 @@ def rasterize_compact_soa(
     )(counts, ax, ay, abx, aby, inv, bw)
 
 
+def compact_env_soa(
+    p0: jnp.ndarray,  # (B, L, E, 2) float pixel coords
+    p1: jnp.ndarray,
+    draw: jnp.ndarray,  # (B, L, E) bool
+    k: int,
+    gran: int,
+    h: int,
+    thickness: int,
+    edge_layer: Optional[jnp.ndarray] = None,  # (E,) int32, see below
+    n_layers: Optional[int] = None,
+):
+    """Compact drawn segments of ALL layers of an env into k slots.
+
+    Same routing scheme as `compact_soa` (short-first/tall-suffix key,
+    `lax.top_k` + one-hot MXU matmul at Precision.HIGHEST) but over the
+    flattened (layer, edge) axis, so one kernel grid instance can
+    rasterize a whole env in a single segment loop instead of one loop
+    per (env, layer) frame -- the per-frame scalar mechanics are the
+    kernel's dominant fixed cost (docs/KERNELS.md, honest-floor note).
+
+    The layer is folded in at compaction time by shifting the segment
+    into the kernel's STACKED scratch coordinates (all layer frames
+    concatenated on the row axis): ay/by gain lay * hp and the band
+    word's start band gains lay * hp/gran. The per-window kernel decode
+    is then byte-identical to the per-frame kernel's -- an earlier
+    variant that packed the layer id into the band word and unpacked it
+    per window cost ~2 ms in extra per-segment scalar work. The image-
+    space distance test is unaffected: both ysf and ay carry the same
+    lay * hp offset, which cancels in apy (exactly -- the values are
+    integer-valued f32 well under 2^24).
+
+    Returns (ax, ay, abx, aby, inv, bw, counts) with per-slot shapes
+    (B, k) and an int32 (2, B) count bundle [live, short].
+
+    With `edge_layer`/`n_layers` given, the input is a PACKED edge axis
+    (all layers' real edges concatenated; map_compiler packed_* arrays)
+    with shape (B, 1, E, 2): each edge's layer comes from edge_layer
+    instead of the axis-1 position. This avoids scanning per-layer
+    padding (~3x fewer slots on reference maps).
+
+    Over-subscription (more than k drawn segments in an env across all
+    layers) drops short segments last.
+    """
+    a, b = _int_endpoints(p0, p1, jnp.float32)
+    bsz, nl, e, _ = a.shape
+    ax0, ay0, bx0, by0 = a[..., 0], a[..., 1], b[..., 0], b[..., 1]
+
+    rf = float(_stroke_radius_sq(thickness)) ** 0.5
+    n_bands, hp, win = _window_rows(gran, h)
+    n_frames = nl if edge_layer is None else n_layers
+    assert nl * n_bands < _NB_PACK or edge_layer is not None
+    assert n_frames * n_bands < _NB_PACK, "stacked frames too tall for band word"
+    ylo = jnp.minimum(ay0, by0) - rf
+    yhi = jnp.maximum(ay0, by0) + rf
+    b0 = jnp.clip(jnp.floor(ylo / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
+    b1 = jnp.clip(jnp.floor(yhi / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
+    valid = (yhi >= 0.0) & (ylo <= h - 1.0) & draw
+    nb = jnp.where(valid, b1 + 1 - b0, 0)
+    b0c = jnp.minimum(b0, (hp - win) // gran)
+    if edge_layer is None:
+        lay = jax.lax.broadcasted_iota(jnp.int32, draw.shape, 1)
+    else:
+        lay = jnp.broadcast_to(edge_layer[None, None, :], draw.shape)
+    roff = (lay * hp).astype(jnp.float32)
+    ay0 = ay0 + roff
+    by0 = by0 + roff
+    w2f = ((lay * n_bands + b0c) * _NB_PACK + nb).astype(jnp.float32)
+
+    le = nl * e
+    flat = lambda x: x.reshape(bsz, le)
+    ax0, ay0, bx0, by0, w2f = map(flat, (ax0, ay0, bx0, by0, w2f))
+    draw2, tall = flat(draw), flat(nb > win // gran)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bsz, le), 1)
+    key = jnp.where(
+        draw2, jnp.where(tall, le - iota, 2 * le - iota), -iota
+    )
+    n_all = jnp.minimum(jnp.sum(draw2, axis=-1), k).astype(jnp.int32)
+    n_short = jnp.minimum(
+        jnp.sum(draw2 & ~tall, axis=-1), k
+    ).astype(jnp.int32)
+
+    segs = jnp.stack([ax0, ay0, bx0, by0, w2f], axis=-1)  # (B, LE, 5)
+    if k < le:
+        _, idx = jax.lax.top_k(key, k)  # (B, k)
+        onehot = (
+            idx[..., None]
+            == jax.lax.broadcasted_iota(jnp.int32, (bsz, k, le), 2)
+        ).astype(jnp.float32)
+        comp = jnp.einsum(
+            "bke,bef->bkf",
+            onehot,
+            segs,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        order = jnp.argsort(-key, axis=-1)
+        comp = jnp.take_along_axis(segs, order[..., None], axis=1)
+
+    ax, ay, bx, by = comp[..., 0], comp[..., 1], comp[..., 2], comp[..., 3]
+    bw = comp[..., 4].astype(jnp.int32)
+    abx, aby = bx - ax, by - ay
+    denom = abx * abx + aby * aby
+    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+
+    if ax.shape[-1] % 2:
+        pad = [(0, 0), (0, 1)]
+        ax, ay, abx, aby, inv = (
+            jnp.pad(x, pad) for x in (ax, ay, abx, aby, inv)
+        )
+        bw = jnp.pad(bw, pad)
+    counts = jnp.stack([n_all, n_short])
+    return ax, ay, abx, aby, inv, bw, counts
+
+
+def _kernel_env(
+    count_ref,
+    ax_ref,
+    ay_ref,
+    abx_ref,
+    aby_ref,
+    inv_ref,
+    bw_ref,
+    out_ref,
+    scratch,
+    *,
+    n_layers,
+    h,
+    hp,
+    w,
+    r2,
+    gran,
+    win,
+):
+    """One grid instance rasterizes ALL layers of one env in one pass.
+
+    The scratch holds the n_layers frames stacked on the row axis
+    ((n_layers * hp, w) f32). Segments arrive pre-shifted into stacked
+    coordinates (see `compact_env_soa`), so the per-window decode and
+    math are byte-identical to `_kernel`'s -- only the scratch size,
+    the final per-layer converts, and one segment loop (and count load,
+    and scratch zero) per ENV instead of per (env, layer) frame differ.
+    The per-frame scalar mechanics were measured at ~1 us of fixed cost
+    per frame (docs/KERNELS.md honest-floor note) and dominate at
+    realistic ~5-segment frames.
+    """
+    xs = jax.lax.broadcasted_iota(jnp.int32, (win, w), 1).astype(jnp.float32)
+    ys0 = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0).astype(jnp.float32)
+    xs_t = jax.lax.broadcasted_iota(jnp.int32, (gran, w), 1).astype(jnp.float32)
+    ys_t = jax.lax.broadcasted_iota(jnp.int32, (gran, w), 0).astype(jnp.float32)
+    i = pl.program_id(0)
+    n = count_ref[0, i]
+    ns = count_ref[1, i]
+
+    @pl.when(n == 0)
+    def _empty():
+        for l in range(n_layers):
+            out_ref[0, l] = jnp.zeros((h, w), jnp.uint8)
+
+    @pl.when(n > 0)
+    def _live():
+        scratch[:] = jnp.zeros((n_layers * hp, w), jnp.float32)
+
+        def window(s):
+            ax = ax_ref[0, 0, s]
+            ay = ay_ref[0, 0, s]
+            abx = abx_ref[0, 0, s]
+            aby = aby_ref[0, 0, s]
+            inv = inv_ref[0, 0, s]
+            bw = bw_ref[0, 0, s]
+            b0c = bw // _NB_PACK
+            nb = bw - b0c * _NB_PACK
+
+            y0 = b0c * gran
+            ysf = ys0 + y0.astype(jnp.float32)
+            apx = xs - ax
+            apy = ysf - ay
+            t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
+            dx = apx - t * abx
+            dy = apy - t * aby
+            hit = ((dx * dx + dy * dy) <= r2) & (nb > 0)
+            cur = scratch[pl.ds(y0, win), :]
+            scratch[pl.ds(y0, win), :] = jnp.where(hit, 255.0, cur)
+            return ax, ay, abx, aby, inv, b0c, nb
+
+        def short_pair(p, _):
+            window(2 * p)
+            window(2 * p + 1)
+            return 0
+
+        jax.lax.fori_loop(0, (ns + 1) // 2, short_pair, 0)
+
+        def tall_one(s, _):
+            ax, ay, abx, aby, inv, b0c, nb = window(s)
+
+            def tail(bi, _):
+                ty0 = bi * gran
+                tysf = ys_t + ty0.astype(jnp.float32)
+                tapx = xs_t - ax
+                tapy = tysf - ay
+                tt = jnp.clip((tapx * abx + tapy * aby) * inv, 0.0, 1.0)
+                tdx = tapx - tt * abx
+                tdy = tapy - tt * aby
+                thit = (tdx * tdx + tdy * tdy) <= r2
+                tcur = scratch[pl.ds(ty0, gran), :]
+                scratch[pl.ds(ty0, gran), :] = jnp.where(thit, 255.0, tcur)
+                return 0
+
+            jax.lax.fori_loop(b0c + win // gran, b0c + nb, tail, 0)
+            return 0
+
+        jax.lax.fori_loop(ns, n, tall_one, 0)
+        for l in range(n_layers):
+            # f32 -> int32 -> uint8 (direct f32->uint8 miscompiles)
+            out_ref[0, l] = (
+                scratch[l * hp : l * hp + h].astype(jnp.int32).astype(jnp.uint8)
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_layers", "resolution", "thickness", "gran", "interpret"),
+)
+def rasterize_compact_env_soa(
+    soa,  # from compact_env_soa, leading dim (B,)
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    gran: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, L, H, W) uint8 masks from an env-merged compacted bundle.
+
+    `gran` must match the granularity passed to `compact_env_soa`.
+    """
+    ax, ay, abx, aby, inv, bw, counts = soa
+    h, w = resolution
+    bsz, k = ax.shape
+    _, hp, win = _window_rows(gran, h)
+    r2 = float(_stroke_radius_sq(thickness))
+    kernel = functools.partial(
+        _kernel_env,
+        n_layers=n_layers,
+        h=h,
+        hp=hp,
+        w=w,
+        r2=r2,
+        gran=gran,
+        win=win,
+    )
+    # SoA arrays carry a dummy middle axis: Pallas requires the last two
+    # block dims to divide (8, 128) or equal the array dims, which a
+    # (1, k) block over (B, k) cannot satisfy -- (1, 1, k) over
+    # (B, 1, k) can.
+    smem = pl.BlockSpec(
+        (1, 1, k), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the (2, B) count bundle lands in SMEM
+        grid=(bsz,),
+        in_specs=[smem] * 6,
+        out_specs=pl.BlockSpec((1, n_layers, h, w), lambda i, c: (i, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((n_layers * hp, w), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_layers, h, w), jnp.uint8),
+        interpret=interpret,
+    )(
+        counts,
+        *(x.reshape(bsz, 1, k) for x in (ax, ay, abx, aby, inv, bw)),
+    )
+
+
+def rasterize_masks_packed_pallas(
+    p0: jnp.ndarray,  # (E, 2) or (B, ..., E, 2) packed edge axis
+    p1: jnp.ndarray,
+    draw: jnp.ndarray,  # (..., E)
+    edge_layer: jnp.ndarray,  # (E,) int32 layer id per packed edge
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    max_visible: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(..., n_layers, H, W) uint8 masks from a PACKED edge axis (all
+    layers' real edges concatenated; see map_compiler packed_* arrays).
+    Same output as `rasterize_masks_pallas` on the equivalent padded
+    per-layer arrays, but projection-side padding is never scanned.
+    """
+    lead = p0.shape[:-2]
+    e = p0.shape[-2]
+    h, w = resolution
+    k = e if max_visible is None else min(max_visible, e)
+    gran = 8
+    p0 = p0.reshape(-1, 1, e, 2)
+    p1 = p1.reshape(-1, 1, e, 2)
+    draw = draw.reshape(-1, 1, e)
+    soa = compact_env_soa(
+        p0, p1, draw, k, gran, h, thickness,
+        edge_layer=edge_layer, n_layers=n_layers,
+    )
+    masks = rasterize_compact_env_soa(
+        soa, n_layers, tuple(resolution), thickness, gran=gran,
+        interpret=interpret,
+    )
+    return masks.reshape(*lead, n_layers, h, w)
+
+
 def rasterize_masks_pallas(
     p0: jnp.ndarray,  # (L, E, 2) or (B, ..., L, E, 2)
     p1: jnp.ndarray,
@@ -339,21 +650,22 @@ def rasterize_masks_pallas(
     """Drop-in equivalent of `rasterize.rasterize_masks` (same output up
     to stroke-boundary ulps), batched over any leading dims.
 
-    `max_visible` bounds drawn segments per layer-frame (slots in the
-    compacted arrays); None keeps every padded segment slot (exact for
-    any count, with dead slots skipped via their zero band count).
+    Uses the env-merged single-pass kernel: `max_visible` bounds drawn
+    segments per ENV across all layers (slots in the compacted arrays);
+    None keeps every padded segment slot (exact for any count, with
+    dead slots skipped via their zero band count).
     """
     lead = p0.shape[:-3]
     e = p0.shape[-2]
     nl = p0.shape[-3]
     h, w = resolution
-    k = e if max_visible is None else min(max_visible, e)
+    k = nl * e if max_visible is None else min(max_visible, nl * e)
     gran = 8
     p0 = p0.reshape(-1, nl, e, 2)
     p1 = p1.reshape(-1, nl, e, 2)
     draw = draw.reshape(-1, nl, e)
-    soa = compact_soa(p0, p1, draw, k, gran, h, thickness)
-    masks = rasterize_compact_soa(
-        soa, tuple(resolution), thickness, gran=gran, interpret=interpret
+    soa = compact_env_soa(p0, p1, draw, k, gran, h, thickness)
+    masks = rasterize_compact_env_soa(
+        soa, nl, tuple(resolution), thickness, gran=gran, interpret=interpret
     )
     return masks.reshape(*lead, nl, h, w)
