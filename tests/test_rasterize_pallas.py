@@ -195,3 +195,83 @@ def test_batched_leading_dims():
     assert got.shape == (2, 3, 32, 48)
     exp0 = ras.rasterize_masks(p0, p1, draw, (32, 48), 1)
     _assert_equal_up_to_stroke_boundary(got[0], exp0, p0, p1, draw, 1)
+
+
+def _pack(p0, p1, draw):
+    """Flatten (L, E) per-layer arrays into the packed edge-axis form."""
+    L, E = draw.shape
+    lay = jnp.repeat(jnp.arange(L, dtype=jnp.int32), E)
+    return (
+        p0.reshape(L * E, 2),
+        p1.reshape(L * E, 2),
+        draw.reshape(L * E),
+        lay,
+        L,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_packed_matches_per_layer(seed):
+    """The packed-edge-axis kernel equals the per-layer kernel and the
+    dense reference (env-merged stacked-scratch path)."""
+    from tinycarlo_tpu.ops.rasterize_pallas import rasterize_masks_packed_pallas
+
+    p0, p1, draw = _random_case(seed)
+    fp0, fp1, fdraw, lay, L = _pack(p0, p1, draw)
+    got = rasterize_masks_packed_pallas(
+        fp0, fp1, fdraw, lay, L, (32, 48), 2, interpret=True
+    )
+    expected = ras.rasterize_masks(p0, p1, draw, (32, 48), 2)
+    _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, 2)
+
+
+def test_packed_batched_and_empty_env():
+    """Batched packed input; one env fully empty exercises the uint8
+    zero fast path for every layer of the instance."""
+    from tinycarlo_tpu.ops.rasterize_pallas import rasterize_masks_packed_pallas
+
+    p0, p1, draw = _random_case(7)
+    fp0, fp1, fdraw, lay, L = _pack(p0, p1, draw)
+    b0 = (fp0, fp1, fdraw)
+    b1 = (fp0 + 2.0, fp1 + 2.0, fdraw)
+    b2 = (fp0, fp1, jnp.zeros_like(fdraw))
+    P0, P1, D = (jnp.stack(x) for x in zip(b0, b1, b2))
+    got = rasterize_masks_packed_pallas(
+        P0, P1, D, lay, L, (32, 48), 1, interpret=True
+    )
+    assert got.shape == (3, L, 32, 48)
+    exp0 = ras.rasterize_masks(p0, p1, draw, (32, 48), 1)
+    exp1 = ras.rasterize_masks(p0 + 2.0, p1 + 2.0, draw, (32, 48), 1)
+    _assert_equal_up_to_stroke_boundary(got[0], exp0, p0, p1, draw, 1)
+    _assert_equal_up_to_stroke_boundary(got[1], exp1, p0 + 2.0, p1 + 2.0, draw, 1)
+    np.testing.assert_array_equal(np.asarray(got[2]), 0)
+
+
+def test_packed_auto_cpu_dispatch():
+    """The non-TPU fallback of rasterize_masks_packed_auto expands the
+    packed axis to per-layer masks and must be bit-equal to the dense
+    reference."""
+    p0, p1, draw = _random_case(9)
+    fp0, fp1, fdraw, lay, L = _pack(p0, p1, draw)
+    got = ras.rasterize_masks_packed_auto(
+        fp0[None], fp1[None], fdraw[None], lay, L, (32, 48), 2
+    )
+    expected = ras.rasterize_masks(p0, p1, draw, (32, 48), 2)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(expected))
+
+
+def test_packed_oversubscription_keeps_shorts():
+    """Per-env slot budget: with more drawn segments than k, talls drop
+    first and the kept set renders identically to the reference on it."""
+    from tinycarlo_tpu.ops.rasterize_pallas import compact_env_soa
+
+    rng = np.random.default_rng(13)
+    E, H, W, k = 16, 32, 48, 6
+    p0 = jnp.asarray(rng.uniform(0, W, (1, 1, E, 2)), jnp.float32)
+    p1 = jnp.asarray(p0 + rng.uniform(-4, 4, (1, 1, E, 2)), jnp.float32)
+    draw = jnp.ones((1, 1, E), bool)
+    lay = jnp.zeros((E,), jnp.int32)
+    soa = compact_env_soa(p0, p1, draw, k, 8, H, 1, edge_layer=lay, n_layers=1)
+    counts = np.asarray(soa[-1])
+    assert counts[0, 0] == k  # live slots filled to the budget
+    assert counts[1, 0] <= k  # short count within budget
