@@ -51,6 +51,22 @@ from tinycarlo_tpu.ops.rasterize import _int_endpoints, _stroke_radius_sq
 # through the routing matmul): max value ~ 512 * 512 < 2^24.
 _NB_PACK = 512
 
+# X-block width for the lane-split scratch layout (see compact_env_soa):
+# one VPU lane tile, so every window touches exactly one lane tile.
+_XB = 128
+
+
+def _n_xblocks(w: int) -> int:
+    """Lane blocks for a frame width: split only when w exceeds one tile.
+
+    Windows on an un-split (w > 128) frame waste most of their lanes --
+    the median projected segment spans ~11 px of x -- so frames wider
+    than one 128-lane tile are cut into ceil(w/128) blocks, each a row
+    strip of the stacked scratch. Windows then do half (w=160) to 1/5th
+    (w=640) of the vector work per evaluated segment.
+    """
+    return -(-w // _XB) if w > _XB else 1
+
 
 def _window_rows(gran: int, h: int) -> Tuple[int, int, int]:
     """(n_bands, padded height, window rows) for a given granularity."""
@@ -337,6 +353,7 @@ def compact_env_soa(
     thickness: int,
     edge_layer: Optional[jnp.ndarray] = None,  # (E,) int32, see below
     n_layers: Optional[int] = None,
+    w: Optional[int] = None,
 ):
     """Compact drawn segments of ALL layers of an env into k slots.
 
@@ -367,8 +384,18 @@ def compact_env_soa(
     instead of the axis-1 position. This avoids scanning per-layer
     padding (~3x fewer slots on reference maps).
 
-    Over-subscription (more than k drawn segments in an env across all
-    layers) drops short segments last.
+    With `w` given and wider than one 128-lane tile, frames are split
+    into ceil(w/128) lane blocks stacked on the scratch row axis (the
+    lane-split layout; `_n_xblocks`). A segment gets one slot copy per
+    block its stroke's x-range touches, endpoints shifted into
+    block-local lane coords and the block id folded into the row band
+    exactly like the layer id, so the kernel's window decode is
+    unchanged while each window does one lane tile of vector work
+    instead of ceil(w/128). Pass the same `w` to
+    `rasterize_compact_env_soa`.
+
+    Over-subscription (more than k drawn slot copies in an env across
+    all layers) drops short segments last.
     """
     a, b = _int_endpoints(p0, p1, jnp.float32)
     bsz, nl, e, _ = a.shape
@@ -377,8 +404,12 @@ def compact_env_soa(
     rf = float(_stroke_radius_sq(thickness)) ** 0.5
     n_bands, hp, win = _window_rows(gran, h)
     n_frames = nl if edge_layer is None else n_layers
-    assert nl * n_bands < _NB_PACK or edge_layer is not None
-    assert n_frames * n_bands < _NB_PACK, "stacked frames too tall for band word"
+    nxb = _n_xblocks(w) if w is not None else 1
+    # The row-band word must stay exactly representable in f32 through
+    # the routing matmul: (frame * n_bands + b0c) * 512 + nb < 2^24.
+    assert n_frames * nxb * n_bands < (1 << 24) // _NB_PACK, (
+        "stacked frames too tall for band word"
+    )
     ylo = jnp.minimum(ay0, by0) - rf
     yhi = jnp.maximum(ay0, by0) + rf
     b0 = jnp.clip(jnp.floor(ylo / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
@@ -390,15 +421,36 @@ def compact_env_soa(
         lay = jax.lax.broadcasted_iota(jnp.int32, draw.shape, 1)
     else:
         lay = jnp.broadcast_to(edge_layer[None, None, :], draw.shape)
-    roff = (lay * hp).astype(jnp.float32)
+
+    if nxb > 1:
+        xlo = jnp.minimum(ax0, bx0) - rf
+        xhi = jnp.maximum(ax0, bx0) + rf
+        bidx = jnp.arange(nxb, dtype=jnp.int32)
+        xoff = (bidx * _XB).astype(jnp.float32)
+        touch = (xlo[..., None] <= xoff + (_XB - 1)) & (
+            xhi[..., None] >= xoff
+        )
+        expand = lambda x: jnp.broadcast_to(x[..., None], x.shape + (nxb,))
+        ax0 = ax0[..., None] - xoff
+        bx0 = bx0[..., None] - xoff
+        ay0, by0, b0c = expand(ay0), expand(by0), expand(b0c)
+        nb = jnp.where(touch, nb[..., None], 0)
+        frame = expand(lay) * nxb + bidx
+    else:
+        frame = lay
+
+    roff = (frame * hp).astype(jnp.float32)
     ay0 = ay0 + roff
     by0 = by0 + roff
-    w2f = ((lay * n_bands + b0c) * _NB_PACK + nb).astype(jnp.float32)
+    w2f = ((frame * n_bands + b0c) * _NB_PACK + nb).astype(jnp.float32)
 
-    le = nl * e
+    le = nl * e * nxb
     flat = lambda x: x.reshape(bsz, le)
     ax0, ay0, bx0, by0, w2f = map(flat, (ax0, ay0, bx0, by0, w2f))
-    draw2, tall = flat(draw), flat(nb > win // gran)
+    # Slot eligibility is nb > 0 (drawn AND the stroke intersects this
+    # frame strip's rows/lanes) -- a strict subset of `draw` that keeps
+    # y-clipped segments and untouched lane blocks out of the slots.
+    draw2, tall = flat(nb > 0), flat(nb > win // gran)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (bsz, le), 1)
     key = jnp.where(
@@ -461,23 +513,28 @@ def _kernel_env(
     r2,
     gran,
     win,
+    nxb,
 ):
     """One grid instance rasterizes ALL layers of one env in one pass.
 
-    The scratch holds the n_layers frames stacked on the row axis
-    ((n_layers * hp, w) f32). Segments arrive pre-shifted into stacked
-    coordinates (see `compact_env_soa`), so the per-window decode and
-    math are byte-identical to `_kernel`'s -- only the scratch size,
-    the final per-layer converts, and one segment loop (and count load,
-    and scratch zero) per ENV instead of per (env, layer) frame differ.
-    The per-frame scalar mechanics were measured at ~1 us of fixed cost
-    per frame (docs/KERNELS.md honest-floor note) and dominate at
-    realistic ~5-segment frames.
+    The scratch holds the n_layers * nxb frame strips stacked on the row
+    axis ((n_layers * nxb * hp, wb) f32, wb = lane-block width). Segments
+    arrive pre-shifted into stacked strip coordinates (see
+    `compact_env_soa`), so the per-window decode and math are
+    byte-identical to `_kernel`'s -- only the scratch size, the final
+    per-layer converts (which concatenate the nxb lane strips back into
+    a (h, w) frame), and one segment loop (and count load, and scratch
+    zero) per ENV instead of per (env, layer) frame differ. The
+    per-frame scalar mechanics were measured at ~1 us of fixed cost per
+    frame (docs/KERNELS.md honest-floor note) and dominate at realistic
+    ~5-segment frames; the lane split cuts per-window vector work to one
+    lane tile (the kernel was vector-issue bound at w > 128).
     """
-    xs = jax.lax.broadcasted_iota(jnp.int32, (win, w), 1).astype(jnp.float32)
-    ys0 = jax.lax.broadcasted_iota(jnp.int32, (win, w), 0).astype(jnp.float32)
-    xs_t = jax.lax.broadcasted_iota(jnp.int32, (gran, w), 1).astype(jnp.float32)
-    ys_t = jax.lax.broadcasted_iota(jnp.int32, (gran, w), 0).astype(jnp.float32)
+    wb = _XB if nxb > 1 else w
+    xs = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 1).astype(jnp.float32)
+    ys0 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 0).astype(jnp.float32)
+    xs_t = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 1).astype(jnp.float32)
+    ys_t = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 0).astype(jnp.float32)
     i = pl.program_id(0)
     n = count_ref[0, i]
     ns = count_ref[1, i]
@@ -489,7 +546,7 @@ def _kernel_env(
 
     @pl.when(n > 0)
     def _live():
-        scratch[:] = jnp.zeros((n_layers * hp, w), jnp.float32)
+        scratch[:] = jnp.zeros((n_layers * nxb * hp, wb), jnp.float32)
 
         def window(s):
             ax = ax_ref[0, 0, s]
@@ -542,14 +599,22 @@ def _kernel_env(
         jax.lax.fori_loop(ns, n, tall_one, 0)
         for l in range(n_layers):
             # f32 -> int32 -> uint8 (direct f32->uint8 miscompiles)
-            out_ref[0, l] = (
-                scratch[l * hp : l * hp + h].astype(jnp.int32).astype(jnp.uint8)
-            )
+            if nxb == 1:
+                frame = scratch[l * hp : l * hp + h]
+            else:
+                strips = [
+                    scratch[(l * nxb + b) * hp : (l * nxb + b) * hp + h]
+                    for b in range(nxb)
+                ]
+                frame = jnp.concatenate(strips, axis=1)[:, :w]
+            out_ref[0, l] = frame.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_layers", "resolution", "thickness", "gran", "interpret"),
+    static_argnames=(
+        "n_layers", "resolution", "thickness", "gran", "split", "interpret",
+    ),
 )
 def rasterize_compact_env_soa(
     soa,  # from compact_env_soa, leading dim (B,)
@@ -557,16 +622,20 @@ def rasterize_compact_env_soa(
     resolution: Tuple[int, int],
     thickness: int = 1,
     gran: int = 8,
+    split: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, L, H, W) uint8 masks from an env-merged compacted bundle.
 
-    `gran` must match the granularity passed to `compact_env_soa`.
+    `gran` must match the granularity passed to `compact_env_soa`, and
+    `split` must be True iff `compact_env_soa` was given `w` (the
+    lane-split layout -- slot coordinates differ between the layouts).
     """
     ax, ay, abx, aby, inv, bw, counts = soa
     h, w = resolution
     bsz, k = ax.shape
     _, hp, win = _window_rows(gran, h)
+    nxb = _n_xblocks(w) if split else 1
     r2 = float(_stroke_radius_sq(thickness))
     kernel = functools.partial(
         _kernel_env,
@@ -577,6 +646,7 @@ def rasterize_compact_env_soa(
         r2=r2,
         gran=gran,
         win=win,
+        nxb=nxb,
     )
     # SoA arrays carry a dummy middle axis: Pallas requires the last two
     # block dims to divide (8, 128) or equal the array dims, which a
@@ -585,12 +655,13 @@ def rasterize_compact_env_soa(
     smem = pl.BlockSpec(
         (1, 1, k), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
     )
+    wb = _XB if nxb > 1 else w
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # the (2, B) count bundle lands in SMEM
         grid=(bsz,),
         in_specs=[smem] * 6,
         out_specs=pl.BlockSpec((1, n_layers, h, w), lambda i, c: (i, 0, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((n_layers * hp, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_layers * nxb * hp, wb), jnp.float32)],
     )
     return pl.pallas_call(
         kernel,
@@ -622,18 +693,19 @@ def rasterize_masks_packed_pallas(
     lead = p0.shape[:-2]
     e = p0.shape[-2]
     h, w = resolution
-    k = e if max_visible is None else min(max_visible, e)
+    nxb = _n_xblocks(w)
+    k = e * nxb if max_visible is None else min(max_visible, e * nxb)
     gran = 8
     p0 = p0.reshape(-1, 1, e, 2)
     p1 = p1.reshape(-1, 1, e, 2)
     draw = draw.reshape(-1, 1, e)
     soa = compact_env_soa(
         p0, p1, draw, k, gran, h, thickness,
-        edge_layer=edge_layer, n_layers=n_layers,
+        edge_layer=edge_layer, n_layers=n_layers, w=w,
     )
     masks = rasterize_compact_env_soa(
         soa, n_layers, tuple(resolution), thickness, gran=gran,
-        interpret=interpret,
+        split=True, interpret=interpret,
     )
     return masks.reshape(*lead, n_layers, h, w)
 
@@ -659,13 +731,15 @@ def rasterize_masks_pallas(
     e = p0.shape[-2]
     nl = p0.shape[-3]
     h, w = resolution
-    k = nl * e if max_visible is None else min(max_visible, nl * e)
+    nxb = _n_xblocks(w)
+    k = nl * e * nxb if max_visible is None else min(max_visible, nl * e * nxb)
     gran = 8
     p0 = p0.reshape(-1, nl, e, 2)
     p1 = p1.reshape(-1, nl, e, 2)
     draw = draw.reshape(-1, nl, e)
-    soa = compact_env_soa(p0, p1, draw, k, gran, h, thickness)
+    soa = compact_env_soa(p0, p1, draw, k, gran, h, thickness, w=w)
     masks = rasterize_compact_env_soa(
-        soa, nl, tuple(resolution), thickness, gran=gran, interpret=interpret
+        soa, nl, tuple(resolution), thickness, gran=gran, split=True,
+        interpret=interpret,
     )
     return masks.reshape(*lead, nl, h, w)
