@@ -21,23 +21,37 @@ def _random_case(seed, L=3, E=24, H=32, W=48, frac=0.5):
     return p0, p1, draw
 
 
+def _eligible(p0, p1, draw, h, thickness):
+    """Slot eligibility oracle: drawn AND the stroke intersects the image
+    rows (nb > 0 in compact_soa / compact_env_soa)."""
+    a, b = ras._int_endpoints(p0, p1, jnp.float32)
+    a, b = np.asarray(a), np.asarray(b)
+    rf = float(ras._stroke_radius_sq(thickness)) ** 0.5
+    ylo = np.minimum(a[..., 1], b[..., 1]) - rf
+    yhi = np.maximum(a[..., 1], b[..., 1]) + rf
+    return np.asarray(draw) & (yhi >= 0.0) & (ylo <= h - 1.0)
+
+
 def test_compact_preserves_all_drawn():
-    """Live slot prefix holds every drawn segment: shorts first then talls,
-    original order within each class (rasterization is an OR, so the
-    reordering is output-neutral)."""
+    """Live slot prefix holds every eligible segment (drawn AND its
+    stroke intersects the frame rows -- fully y-clipped segments never
+    take a slot): shorts first then talls, original order within each
+    class (rasterization is an OR, so the reordering is output-neutral).
+    """
     p0, p1, draw = _random_case(0)
     k = 16
     ax, ay, abx, aby, inv, bw, counts = compact_soa(
         p0[None], p1[None], draw[None], k, 16, 32, 2
     )
     L = draw.shape[0]
-    n_drawn = np.asarray(draw.sum(axis=-1))
+    elig = _eligible(p0, p1, draw, 32, 2)
     n_all = np.asarray(counts)[0].reshape(1, L)[0]
-    np.testing.assert_array_equal(n_all, np.minimum(n_drawn, k))
+    np.testing.assert_array_equal(n_all, np.minimum(elig.sum(axis=-1), k))
+    np.testing.assert_array_equal(np.asarray(counts)[2], 0)
     a, b = ras._int_endpoints(p0, p1, jnp.float32)
     a, b = np.asarray(a), np.asarray(b)
     for l in range(L):
-        m = np.asarray(draw[l])
+        m = elig[l]
         got = set(
             zip(
                 np.asarray(ax)[0, l, : n_all[l]].tolist(),
@@ -49,16 +63,17 @@ def test_compact_preserves_all_drawn():
 
 
 def test_compact_no_limit_keeps_all_slots():
-    """k >= E: sort-based ordering; drawn segments fill the live prefix
-    and dead slots are disabled via a zero band count."""
+    """k >= E: sort-based ordering; eligible segments fill the live
+    prefix and dead slots are disabled via a zero band count."""
     p0, p1, draw = _random_case(1)
     E = p0.shape[1]
     ax, ay, abx, aby, inv, bw, counts = compact_soa(
         p0[None], p1[None], draw[None], E, 16, 32, 2
     )
     L = draw.shape[0]
+    elig = _eligible(p0, p1, draw, 32, 2)
     n_all = np.asarray(counts)[0].reshape(1, L)[0]
-    np.testing.assert_array_equal(n_all, np.asarray(draw.sum(axis=-1)))
+    np.testing.assert_array_equal(n_all, elig.sum(axis=-1))
     from tinycarlo_tpu.ops import rasterize_pallas as rp
 
     nb = np.asarray(bw) % rp._NB_PACK
@@ -275,3 +290,112 @@ def test_packed_oversubscription_keeps_shorts():
     counts = np.asarray(soa[-1])
     assert counts[0, 0] == k  # live slots filled to the budget
     assert counts[1, 0] <= k  # short count within budget
+
+
+@pytest.mark.parametrize("W", [160, 300, 130])
+def test_wide_frame_lane_split(W):
+    """W > 128 engages the lane-split layout (one slot copy per touched
+    128-lane block): random segments freely crossing block boundaries,
+    including non-multiple-of-128 widths, must match the dense
+    reference."""
+    rng = np.random.default_rng(21 + W)
+    L, E, H = 2, 18, 40
+    p0 = jnp.asarray(rng.uniform(-20, W + 20, (L, E, 2)), jnp.float32)
+    p1 = jnp.asarray(rng.uniform(-20, W + 20, (L, E, 2)), jnp.float32)
+    p0 = p0.at[..., 1].set(jnp.asarray(rng.uniform(-5, H + 5, (L, E)), jnp.float32))
+    p1 = p1.at[..., 1].set(jnp.asarray(rng.uniform(-5, H + 5, (L, E)), jnp.float32))
+    draw = jnp.asarray(rng.random((L, E)) < 0.6)
+    expected = ras.rasterize_masks(p0, p1, draw, (H, W), 2)
+    got = rasterize_masks_pallas(p0, p1, draw, (H, W), 2, interpret=True)
+    _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, 2)
+    assert np.asarray(got).sum() > 0
+
+
+def test_wide_frame_packed_lane_split():
+    """Packed edge axis at W > 128: lane split + layer fold together."""
+    from tinycarlo_tpu.ops.rasterize_pallas import rasterize_masks_packed_pallas
+
+    rng = np.random.default_rng(33)
+    L, E, H, W = 3, 12, 32, 200
+    p0 = jnp.asarray(rng.uniform(-10, W + 10, (L, E, 2)), jnp.float32)
+    p1 = jnp.asarray(rng.uniform(-10, W + 10, (L, E, 2)), jnp.float32)
+    p0 = p0.at[..., 1].set(jnp.asarray(rng.uniform(-5, H + 5, (L, E)), jnp.float32))
+    p1 = p1.at[..., 1].set(jnp.asarray(rng.uniform(-5, H + 5, (L, E)), jnp.float32))
+    draw = jnp.asarray(rng.random((L, E)) < 0.6)
+    fp0, fp1, fdraw, lay, _ = _pack(p0, p1, draw)
+    got = rasterize_masks_packed_pallas(
+        fp0, fp1, fdraw, lay, L, (H, W), 2, interpret=True
+    )
+    expected = ras.rasterize_masks(p0, p1, draw, (H, W), 2)
+    _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, 2)
+    assert np.asarray(got).sum() > 0
+
+
+def test_wide_oversubscribed_budget_scales_with_blocks():
+    """max_visible under the lane split: the slot budget is max_visible *
+    ceil(w/128), so a frame with <= max_visible eligible segments is
+    rendered exactly even when its slot-copy count exceeds max_visible;
+    and painted pixels are always a subset of the unbudgeted render."""
+    rng = np.random.default_rng(41)
+    L, E, H, W = 1, 6, 32, 300  # nxb = 3
+    # long horizontal segments touching all three lane blocks
+    y = rng.uniform(2, H - 2, (L, E, 1))
+    p0 = jnp.asarray(np.concatenate([np.full((L, E, 1), 1.0), y], -1), jnp.float32)
+    p1 = jnp.asarray(np.concatenate([np.full((L, E, 1), W - 2.0), y + 0.5], -1), jnp.float32)
+    draw = jnp.ones((L, E), bool)
+    expected = ras.rasterize_masks(p0, p1, draw, (H, W), 1)
+    # budget E segments -> 3E slot copies available, 3E needed: exact
+    got = rasterize_masks_pallas(p0, p1, draw, (H, W), 1, max_visible=E, interpret=True)
+    _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, 1)
+    # budget E-2 -> copies dropped, but never spurious pixels
+    got2 = np.asarray(
+        rasterize_masks_pallas(p0, p1, draw, (H, W), 1, max_visible=E - 2, interpret=True)
+    )
+    exp = np.asarray(expected)
+    assert np.all(exp[got2 > 0] > 0)
+    assert got2.sum() < exp.sum()
+
+
+def test_segment_overflow_counts():
+    """segment_overflow reports exactly the eligible copies past the
+    budget; zero when within budget or unbudgeted."""
+    from tinycarlo_tpu.ops.rasterize_pallas import segment_overflow
+
+    rng = np.random.default_rng(55)
+    B, E, H, W = 2, 10, 32, 48  # nxb = 1
+    p0 = jnp.asarray(
+        np.stack(
+            [rng.uniform(0, W, (B, E)), rng.uniform(4, H - 8, (B, E))], -1
+        ),
+        jnp.float32,
+    )
+    p1 = jnp.asarray(p0 + rng.uniform(-3, 3, (B, E, 2)), jnp.float32)
+    # env 1: push half the segments fully below the frame (ineligible)
+    p0 = p0.at[1, :5, 1].add(100.0)
+    p1 = p1.at[1, :5, 1].add(100.0)
+    draw = jnp.ones((B, E), bool)
+    ov = np.asarray(segment_overflow(p0, p1, draw, (H, W), 1, 4))
+    np.testing.assert_array_equal(ov, [E - 4, E - 5 - 4])
+    ov0 = np.asarray(segment_overflow(p0, p1, draw, (H, W), 1, None))
+    np.testing.assert_array_equal(ov0, 0)
+    ov_ok = np.asarray(segment_overflow(p0, p1, draw, (H, W), 1, E))
+    np.testing.assert_array_equal(ov_ok, 0)
+
+
+def test_env_check_segment_overflow():
+    """env.check_segment_overflow: zero at the default budget on
+    simple_layout; positive with an absurdly small budget."""
+    import dataclasses
+
+    from tests.test_env import CONFIG
+    from tinycarlo_tpu import env as fenv
+
+    params = fenv.make_env_params(dict(CONFIG), dtype=jnp.float32)
+    keys = jax.random.split(jax.random.key(0), 4)
+    states, _, _ = jax.vmap(
+        lambda k: fenv.reset(params, k, render=False)
+    )(keys)
+    assert np.all(np.asarray(fenv.check_segment_overflow(params, states)) == 0)
+    tiny = dataclasses.replace(params.cfg.camera, max_visible_segments=1)
+    params_tiny = params.replace(cfg=dataclasses.replace(params.cfg, camera=tiny))
+    assert np.asarray(fenv.check_segment_overflow(params_tiny, states)).max() > 0

@@ -135,6 +135,51 @@ def render_observation(
     return _masks_to_obs(params, masks, (p0, p1, draw), fmt)
 
 
+def _project_packed_batch(params: EnvParams, states: EnvState):
+    """Project the PACKED edge axis (all layers' real edges concatenated)
+    for a batch of states: (B, Ep, 2) x2 endpoints + (B, Ep) draw mask.
+    Projection and compaction scan sum(E_l) slots instead of
+    L * max(E_l) -- ~3x fewer on reference maps, whose per-layer edge
+    counts are skewed."""
+    cfg = params.cfg
+    md = params.map_data
+    body = jax.vmap(cam.car_world_to_body_matrix)(
+        states.car.position, states.car.rotation
+    )
+    pose = jnp.einsum("ij,bjk->bik", params.camera.E, body)  # (B, 3, 4)
+    p0, p1, draw = cam.project_layers_batch(
+        md.packed_nodes,
+        md.packed_edges,
+        md.packed_edge_mask,
+        pose,
+        params.camera.K,
+        cfg.camera.resolution,
+        cfg.camera.max_range,
+    )  # (B, 1, Ep, 2) x2, (B, 1, Ep)
+    return p0[:, 0], p1[:, 0], draw[:, 0]
+
+
+def check_segment_overflow(params: EnvParams, states: EnvState) -> jnp.ndarray:
+    """Per-env count of rasterizer slot copies dropped by the
+    `CameraConfig.max_visible_segments` budget at the current states.
+
+    The reference draws unbounded segment lists (renderer.py:41-43) and
+    can never drop; our fixed budget can. Run this (jittable, batched)
+    on representative states -- e.g. under DEBUG, or once per eval -- to
+    verify the budget fits the map/camera density. Nonzero means
+    observation pixels were silently lost; raise
+    `max_visible_segments` (or set it to None) until it is zero.
+    """
+    from tinycarlo_tpu.ops.rasterize_pallas import segment_overflow
+
+    cfg = params.cfg
+    p0, p1, draw = _project_packed_batch(params, states)
+    return segment_overflow(
+        p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness,
+        cfg.camera.max_visible_segments,
+    )
+
+
 def render_observation_batch(
     params: EnvParams,
     states: EnvState,  # batched leaves (B, ...)
@@ -148,23 +193,7 @@ def render_observation_batch(
     cfg = params.cfg
     fmt = fmt or cfg.sim.observation_space_format
     md = params.map_data
-    body = jax.vmap(cam.car_world_to_body_matrix)(
-        states.car.position, states.car.rotation
-    )
-    pose = jnp.einsum("ij,bjk->bik", params.camera.E, body)  # (B, 3, 4)
-    # Packed edge axis (all layers' real edges concatenated): projection
-    # and compaction scan sum(E_l) slots instead of L * max(E_l) -- ~3x
-    # fewer on reference maps, whose per-layer edge counts are skewed.
-    p0, p1, draw = cam.project_layers_batch(
-        md.packed_nodes,
-        md.packed_edges,
-        md.packed_edge_mask,
-        pose,
-        params.camera.K,
-        cfg.camera.resolution,
-        cfg.camera.max_range,
-    )  # (B, 1, Ep, 2) x2, (B, 1, Ep)
-    p0, p1, draw = p0[:, 0], p1[:, 0], draw[:, 0]
+    p0, p1, draw = _project_packed_batch(params, states)
     masks = ras.rasterize_masks_packed_auto(
         p0, p1, draw, md.packed_edge_layer, md.n_layers,
         cfg.camera.resolution, cfg.camera.line_thickness,

@@ -93,23 +93,31 @@ def compact_soa(
     band clamped so a `win`-row window starting there stays in frame
     (Mosaic can then prove the kernel's dynamic row slice is aligned to
     `gran`), nb its total band count (0 for segments whose stroke misses
-    the image rows entirely), and a (2, B*L) int32 count bundle
-    [live count, short count].
+    the image rows entirely), and a (3, B*L) int32 count bundle
+    [live count, short count, dropped count].
 
-    Routing: one `lax.top_k` over a key that orders drawn-short segments
-    first, then drawn-tall (nb > win/gran), then padding -- original
-    order within each class (rasterization is an OR, so reordering is
-    free) -- followed by a one-hot matmul on the MXU, measured 3x faster
-    than XLA's take_along_axis gather at this shape. The band word is
-    computed per edge *before* routing and rides through the matmul as a
-    5th column. Precision.HIGHEST keeps the integer-valued f32 values
-    exact (default TPU matmul precision rounds through bf16). With
-    k >= E the routing matmul is replaced by an in-place stable
-    short-first ordering of the full slot array.
+    Slot eligibility is nb > 0 (drawn AND the stroke intersects the
+    image rows) -- the same rule as `compact_env_soa` -- so drawn
+    segments whose stroke is entirely above/below the frame never
+    consume a slot; they could not paint a pixel anyway.
 
-    Over-subscription (more drawn segments than k) drops short segments
-    last; the default k = E (`rasterize_masks_pallas` with
-    max_visible=None) never drops anything.
+    Routing: one `lax.top_k` over a key that orders eligible-short
+    segments first, then eligible-tall (nb > win/gran), then padding --
+    original order within each class (rasterization is an OR, so
+    reordering is free) -- followed by a one-hot matmul on the MXU,
+    measured 3x faster than XLA's take_along_axis gather at this shape.
+    The band word is computed per edge *before* routing and rides
+    through the matmul as a 5th column. Precision.HIGHEST keeps the
+    integer-valued f32 values exact (default TPU matmul precision rounds
+    through bf16). With k >= E the routing matmul is replaced by an
+    in-place stable short-first ordering of the full slot array.
+
+    Over-subscription (more eligible segments than k) drops short
+    segments last, and the overflow is reported in counts[2] (the
+    reference draws unbounded segment lists, tinycarlo/renderer.py:41-43,
+    so it can never drop -- we at least report); the default k = E
+    (`rasterize_masks_pallas` with max_visible=None) never drops
+    anything.
     """
     a, b = _int_endpoints(p0, p1, jnp.float32)
     bsz, nl, e, _ = a.shape
@@ -133,9 +141,11 @@ def compact_soa(
 
     tall = nb > win // gran
     iota = jax.lax.broadcasted_iota(jnp.int32, draw.shape, 2)
-    key = jnp.where(draw, jnp.where(tall, e - iota, 2 * e - iota), -iota)
-    n_all = jnp.minimum(jnp.sum(draw, axis=-1), k).astype(jnp.int32)
-    n_short = jnp.minimum(jnp.sum(draw & ~tall, axis=-1), k).astype(jnp.int32)
+    key = jnp.where(valid, jnp.where(tall, e - iota, 2 * e - iota), -iota)
+    n_elig = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    n_all = jnp.minimum(n_elig, k)
+    n_short = jnp.minimum(jnp.sum(valid & ~tall, axis=-1), k).astype(jnp.int32)
+    n_drop = n_elig - n_all
 
     segs = jnp.stack([ax0, ay0, bx0, by0, bwf], axis=-1)  # (B,L,E,5)
     if k < e:
@@ -172,7 +182,9 @@ def compact_soa(
             jnp.pad(x, pad) for x in (ax, ay, abx, aby, inv)
         )
         bw = jnp.pad(bw, pad)
-    counts = jnp.stack([n_all.reshape(-1), n_short.reshape(-1)])
+    counts = jnp.stack(
+        [n_all.reshape(-1), n_short.reshape(-1), n_drop.reshape(-1)]
+    )
     return ax, ay, abx, aby, inv, bw, counts
 
 
@@ -376,7 +388,7 @@ def compact_env_soa(
     integer-valued f32 well under 2^24).
 
     Returns (ax, ay, abx, aby, inv, bw, counts) with per-slot shapes
-    (B, k) and an int32 (2, B) count bundle [live, short].
+    (B, k) and an int32 (3, B) count bundle [live, short, dropped].
 
     With `edge_layer`/`n_layers` given, the input is a PACKED edge axis
     (all layers' real edges concatenated; map_compiler packed_* arrays)
@@ -394,8 +406,11 @@ def compact_env_soa(
     instead of ceil(w/128). Pass the same `w` to
     `rasterize_compact_env_soa`.
 
-    Over-subscription (more than k drawn slot copies in an env across
-    all layers) drops short segments last.
+    Over-subscription (more than k eligible slot copies in an env
+    across all layers) drops short slot copies last and reports the
+    overflow in counts[2]. Under the lane split a dropped copy loses
+    only that segment's pixels within one 128-lane block -- a partially
+    drawn segment, not an all-or-nothing drop.
     """
     a, b = _int_endpoints(p0, p1, jnp.float32)
     bsz, nl, e, _ = a.shape
@@ -406,7 +421,9 @@ def compact_env_soa(
     n_frames = nl if edge_layer is None else n_layers
     nxb = _n_xblocks(w) if w is not None else 1
     # The row-band word must stay exactly representable in f32 through
-    # the routing matmul: (frame * n_bands + b0c) * 512 + nb < 2^24.
+    # the routing matmul: (frame * n_bands + b0c) * 512 + nb < 2^24,
+    # and nb itself must not alias into the next band-word bucket.
+    assert n_bands < _NB_PACK, "frame too tall for the packed band word"
     assert n_frames * nxb * n_bands < (1 << 24) // _NB_PACK, (
         "stacked frames too tall for band word"
     )
@@ -456,10 +473,12 @@ def compact_env_soa(
     key = jnp.where(
         draw2, jnp.where(tall, le - iota, 2 * le - iota), -iota
     )
-    n_all = jnp.minimum(jnp.sum(draw2, axis=-1), k).astype(jnp.int32)
+    n_elig = jnp.sum(draw2, axis=-1).astype(jnp.int32)
+    n_all = jnp.minimum(n_elig, k)
     n_short = jnp.minimum(
         jnp.sum(draw2 & ~tall, axis=-1), k
     ).astype(jnp.int32)
+    n_drop = n_elig - n_all
 
     segs = jnp.stack([ax0, ay0, bx0, by0, w2f], axis=-1)  # (B, LE, 5)
     if k < le:
@@ -491,7 +510,7 @@ def compact_env_soa(
             jnp.pad(x, pad) for x in (ax, ay, abx, aby, inv)
         )
         bw = jnp.pad(bw, pad)
-    counts = jnp.stack([n_all, n_short])
+    counts = jnp.stack([n_all, n_short, n_drop])
     return ax, ay, abx, aby, inv, bw, counts
 
 
@@ -674,6 +693,52 @@ def rasterize_compact_env_soa(
     )
 
 
+def segment_overflow(
+    p0: jnp.ndarray,  # (B, E, 2) packed or (B, L, E, 2) per-layer coords
+    p1: jnp.ndarray,
+    draw: jnp.ndarray,  # (B, E) or (B, L, E)
+    resolution: Tuple[int, int],
+    thickness: int,
+    max_visible: Optional[int],
+    gran: int = 8,
+) -> jnp.ndarray:
+    """Per-env count of eligible slot copies DROPPED by the compaction
+    budget -- the detection hook for `max_visible` oversubscription.
+
+    The reference rasterizes unbounded per-frame segment lists
+    (reference: tinycarlo/renderer.py:41-43) so it can never drop; our
+    fixed slot budget can, silently corrupting observations on dense
+    maps. This computes the same eligibility (nb > 0 per touched
+    128-lane block) and budget (max_visible * ceil(w/128)) as
+    `compact_env_soa` via `rasterize_masks_packed_pallas` /
+    `rasterize_masks_pallas`, without running the compaction, so it is
+    cheap enough for a debug-mode check. Returns (B,) int32; zero means
+    no observation pixels were lost. A nonzero count under the lane
+    split means at least partial segments were dropped.
+    """
+    if max_visible is None:
+        return jnp.zeros(p0.shape[0], jnp.int32)
+    h, w = resolution
+    nxb = _n_xblocks(w)
+    if draw.ndim == 2:  # packed edge axis
+        p0, p1, draw = p0[:, None], p1[:, None], draw[:, None]
+    a, b = _int_endpoints(p0, p1, jnp.float32)
+    ax0, ay0, bx0, by0 = a[..., 0], a[..., 1], b[..., 0], b[..., 1]
+    rf = float(_stroke_radius_sq(thickness)) ** 0.5
+    ylo = jnp.minimum(ay0, by0) - rf
+    yhi = jnp.maximum(ay0, by0) + rf
+    elig = (yhi >= 0.0) & (ylo <= h - 1.0) & draw
+    if nxb > 1:
+        xlo = jnp.minimum(ax0, bx0) - rf
+        xhi = jnp.maximum(ax0, bx0) + rf
+        xoff = (jnp.arange(nxb, dtype=jnp.int32) * _XB).astype(jnp.float32)
+        touch = (xlo[..., None] <= xoff + (_XB - 1)) & (xhi[..., None] >= xoff)
+        n_copies = jnp.sum(elig[..., None] & touch, axis=(1, 2, 3))
+    else:
+        n_copies = jnp.sum(elig, axis=(1, 2))
+    return jnp.maximum(n_copies - max_visible * nxb, 0).astype(jnp.int32)
+
+
 def rasterize_masks_packed_pallas(
     p0: jnp.ndarray,  # (E, 2) or (B, ..., E, 2) packed edge axis
     p1: jnp.ndarray,
@@ -694,7 +759,11 @@ def rasterize_masks_packed_pallas(
     e = p0.shape[-2]
     h, w = resolution
     nxb = _n_xblocks(w)
-    k = e * nxb if max_visible is None else min(max_visible, e * nxb)
+    # A segment takes one slot copy per touched 128-lane block, so the
+    # user-facing budget of `max_visible` SEGMENTS maps to a slot budget
+    # of max_visible * nxb copies (a worst-case segment touches every
+    # block); narrower segments let more than max_visible fit.
+    k = e * nxb if max_visible is None else min(max_visible * nxb, e * nxb)
     gran = 8
     p0 = p0.reshape(-1, 1, e, 2)
     p1 = p1.reshape(-1, 1, e, 2)
@@ -722,17 +791,22 @@ def rasterize_masks_pallas(
     """Drop-in equivalent of `rasterize.rasterize_masks` (same output up
     to stroke-boundary ulps), batched over any leading dims.
 
-    Uses the env-merged single-pass kernel: `max_visible` bounds drawn
-    segments per ENV across all layers (slots in the compacted arrays);
-    None keeps every padded segment slot (exact for any count, with
-    dead slots skipped via their zero band count).
+    Uses the env-merged single-pass kernel: `max_visible` budgets drawn
+    segments per ENV across all layers (internally one slot copy per
+    touched 128-lane block, so the slot count is max_visible *
+    ceil(w/128) -- at least max_visible segments always fit); None keeps
+    every padded segment slot (exact for any count, with dead slots
+    skipped via their zero band count).
     """
     lead = p0.shape[:-3]
     e = p0.shape[-2]
     nl = p0.shape[-3]
     h, w = resolution
     nxb = _n_xblocks(w)
-    k = nl * e * nxb if max_visible is None else min(max_visible, nl * e * nxb)
+    if max_visible is None:
+        k = nl * e * nxb
+    else:
+        k = min(max_visible * nxb, nl * e * nxb)
     gran = 8
     p0 = p0.reshape(-1, nl, e, 2)
     p1 = p1.reshape(-1, nl, e, 2)
