@@ -1,0 +1,131 @@
+"""Fused-step stage ablation on the real chip (honest protocol).
+
+bench.py's rollout body = render (projection -> compaction -> kernel)
++ Stanley + vector.step (car kinematics + local path + info +
+auto-reset). Standalone stage timings mislead (each pays its own
+dispatch floor and XLA fuses across stages), so this measures the FUSED
+scan with stages progressively enabled:
+
+  car    : vector.step only (no obs), checksum on cte
+  proj   : + packed projection, checksum on projected coords
+  comp   : + compaction (no kernel), checksum on soa
+  full   : + rasterize kernel (the bench.py body)
+
+Usage: python benchmarks/step_decomp.py [car proj comp full]
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE = "/root/reference"
+N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
+ITERS = 30
+H, W, THICK, GRAN, MAXVIS = 128, 160, 2, 8, 128
+
+CONFIG = {
+    "sim": {"fps": 30, "observation_space_format": "classes"},
+    "car": {"wheelbase": 0.0487, "track_width": 0.027,
+            "max_velocity": 0.15, "max_steering_angle": 30,
+            "steering_speed": 30, "max_acceleration": 0.1,
+            "max_deceleration": 1.0},
+    "camera": {"position": [0.0, -0.005, 0.04], "orientation": [22, 0, 0],
+               "resolution": [H, W], "fov": 80, "max_range": 0.5,
+               "line_thickness": THICK},
+    "map": {"json_path": os.path.join(
+        REFERENCE, "examples/maps/simple_layout.json"),
+        "pixel_per_meter": 450},
+}
+SPEED, K = 0.5, 5.0
+
+
+def main():
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu import vector
+    from tinycarlo_tpu.ops import rasterize_pallas as rp
+    from tinycarlo_tpu.train.stanley import stanley_steering
+
+    modes = sys.argv[1:] or ["car", "proj", "comp", "full"]
+    params = fenv.make_env_params(CONFIG)
+    max_steer = params.cfg.car.max_steering_angle
+    md = params.map_data
+    e = md.packed_edges.shape[0]
+    nxb = rp._n_xblocks(W)
+    k = min(MAXVIS * nxb, e * nxb)
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def rollout(vstate, info, mode):
+        def body(carry, _):
+            vstate, info, checksum = carry
+            if mode == "bench":
+                obs = fenv.render_observation_batch(params, vstate.env)
+                checksum = checksum + jnp.sum(obs, dtype=jnp.uint32)
+            elif mode != "car":
+                p0, p1, draw = fenv._project_packed_batch(params, vstate.env)
+                if mode == "proj":
+                    checksum = checksum + jnp.sum(
+                        jnp.abs(jnp.where(draw[..., None], p0, 0.0))
+                    ).astype(jnp.uint32)
+                else:
+                    soa = rp.compact_env_idx(
+                        p0[:, None], p1[:, None], draw[:, None], k, GRAN,
+                        H, THICK, edge_layer=md.packed_edge_layer,
+                        n_layers=md.n_layers, w=W)
+                    if mode == "comp":
+                        checksum = checksum + sum(
+                            jnp.sum(x.astype(jnp.float32)) for x in soa
+                        ).astype(jnp.uint32)
+                    else:
+                        obs = rp.rasterize_env_idx(
+                            soa, md.n_layers, (H, W), THICK, gran=GRAN,
+                            split=True)
+                        checksum = checksum + jnp.sum(obs, dtype=jnp.uint32)
+            steering = jnp.clip(
+                stanley_steering(info["cte"], info["heading_error"],
+                                 SPEED, K, max_steer), -1.0, 1.0)
+            action = {
+                "car_control": jnp.stack(
+                    [jnp.full((N_ENVS,), SPEED, jnp.float32),
+                     steering.astype(jnp.float32)], axis=-1),
+                "maneuver": jnp.zeros((N_ENVS,), jnp.int32),
+            }
+            vstate, _, rew, term, trunc, info = vector.step(
+                params, vstate, action, render=False,
+                max_episode_steps=1000)
+            checksum = checksum + jnp.sum(
+                jnp.abs(info["cte"])).astype(jnp.uint32)
+            return (vstate, info, checksum), None
+
+        (vstate, info, checksum), _ = jax.lax.scan(
+            body, (vstate, info, jnp.zeros((), jnp.uint32)), None,
+            length=ITERS)
+        return vstate, info, checksum
+
+    vstate0, _ = vector.reset(params, jax.random.key(0), N_ENVS,
+                              render=False)
+    info0 = jax.vmap(lambda s: fenv._info(params, s))(vstate0.env)
+    for mode in modes:
+        v, inf, c = rollout(vstate0, info0, mode)
+        int(np.asarray(c))  # warm + load
+        ts = []
+        for rep in range(5):
+            # distinct input values so the tunnel cannot memoize
+            vstate, _ = vector.reset(params, jax.random.key(rep + 1),
+                                     N_ENVS, render=False)
+            info = jax.vmap(lambda s: fenv._info(params, s))(vstate.env)
+            t0 = time.perf_counter()
+            v, inf, c = rollout(vstate, info, mode)
+            int(np.asarray(c))
+            ts.append((time.perf_counter() - t0) / ITERS * 1e3)
+        print(f"{mode}: med {sorted(ts)[2]:.2f} ms/step  (all: "
+              + " ".join(f"{t:.2f}" for t in ts) + ")")
+
+
+if __name__ == "__main__":
+    main()

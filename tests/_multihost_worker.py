@@ -1,0 +1,102 @@
+"""Worker process for tests/test_multihost.py.
+
+Run as: python tests/_multihost_worker.py <rank> <port> <map_json>
+
+Simulates one host of a 2-process pod on the CPU backend (4 virtual
+devices per process -> 8 global devices), the JAX analogue of a fake
+multi-node backend (SURVEY.md §4). Exercises the real multi-host feeding
+path: `multihost.initialize` (jax.distributed), `local_batch_slice` +
+`host_local_array` assembling globally-sharded arrays from per-host
+rows, and a jitted sharded `vector.step` whose cross-process reduction
+(the checksum) compiles to DCN-analogue collectives.
+"""
+import os
+import sys
+
+rank, port, map_json = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+)
+
+import jax  # noqa: E402
+
+from tinycarlo_tpu.parallel import multihost  # noqa: E402
+
+multihost.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=rank
+)
+# x64 matches the parent pytest process (tests/conftest.py) so the
+# single-process oracle checksum compares exactly.
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from tinycarlo_tpu import env as fenv  # noqa: E402
+from tinycarlo_tpu import vector  # noqa: E402
+from tinycarlo_tpu.parallel import mesh as pmesh  # noqa: E402
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.process_index() == rank
+assert len(jax.devices()) == 8, len(jax.devices())
+assert len(jax.local_devices()) == 4
+
+CONFIG = {
+    "sim": {"fps": 30, "observation_space_format": "classes"},
+    "car": {"wheelbase": 0.0487, "track_width": 0.027, "max_velocity": 0.15,
+            "max_steering_angle": 30, "steering_speed": 30,
+            "max_acceleration": 0.1, "max_deceleration": 1.0},
+    "camera": {"position": [0.0, -0.005, 0.04], "orientation": [22, 0, 0],
+               "resolution": [32, 40], "fov": 80, "max_range": 0.5,
+               "line_thickness": 1},
+    "map": {"json_path": map_json, "pixel_per_meter": 450},
+}
+N_ENVS, STEPS = 16, 3
+
+params = fenv.make_env_params(CONFIG)
+mesh = pmesh.make_mesh(data=8, model=1)
+
+# Both processes compute the same full initial state (same seed), then
+# feed ONLY their local rows through host_local_array -- the real
+# multi-host feeding path (each host would produce just its shard).
+local_state, _ = vector.reset(
+    params, jax.random.PRNGKey(0), N_ENVS, render=False
+)
+sl = multihost.local_batch_slice(N_ENVS)
+assert (sl.start, sl.stop) == (rank * 8, rank * 8 + 8)
+
+state = jax.tree.map(
+    lambda leaf: multihost.host_local_array(
+        (N_ENVS,) + leaf.shape[1:], mesh,
+        lambda s, leaf=leaf: np.asarray(leaf)[s],
+    ),
+    local_state,
+)
+action = {
+    "car_control": multihost.host_local_array(
+        (N_ENVS, 2), mesh,
+        lambda s: np.tile(np.asarray([0.5, 0.1], np.float32), (8, 1)),
+    ),
+    "maneuver": multihost.host_local_array(
+        (N_ENVS,), mesh, lambda s: np.zeros(8, np.int32)
+    ),
+}
+
+
+@jax.jit
+def run(state, action):
+    checksum = jnp.zeros((), jnp.float64)
+    for _ in range(STEPS):
+        state, obs, rew, term, trunc, info = vector.step(
+            params, state, action, render=True, max_episode_steps=100
+        )
+        # global reductions -> cross-process collectives; the scalar is
+        # replicated so every process can read it
+        checksum = checksum + jnp.sum(jnp.abs(info["cte"]).astype(jnp.float64))
+        checksum = checksum + jnp.sum(rew.astype(jnp.float64)) + jnp.sum(obs.astype(jnp.float64)) / 255.0
+    return state, checksum
+
+
+state, checksum = run(state, action)
+print(f"MULTIHOST_OK rank={rank} checksum={float(checksum):.12e}", flush=True)

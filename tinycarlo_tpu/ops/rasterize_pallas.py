@@ -693,6 +693,589 @@ def rasterize_compact_env_soa(
     )
 
 
+def compact_env_idx(
+    p0: jnp.ndarray,  # (B, L, E, 2) float pixel coords
+    p1: jnp.ndarray,
+    draw: jnp.ndarray,  # (B, L, E) bool
+    k: int,
+    gran: int,
+    h: int,
+    thickness: int,
+    edge_layer: Optional[jnp.ndarray] = None,
+    n_layers: Optional[int] = None,
+    w: Optional[int] = None,
+    one_tier: bool = False,
+):
+    """Index-indirection variant of `compact_env_soa`: no routing matmul.
+
+    Computes the same per-copy SoA (endpoint / direction / 1/len^2 /
+    packed band word, lane-split and layer-fold included) DENSELY on the
+    (B, LE) copy axis -- cheap elementwise math -- and compacts only the
+    *indices*: `lax.top_k` over the short-first eligibility key yields a
+    (B, k) int32 slot->copy map. The kernel reads the SoA through the
+    index (two SMEM scalar loads instead of one), so the one-hot
+    (B, k, LE) routing tensor and its MXU matmul are never built. Dead
+    slots point at ineligible copies, whose nb == 0 kills the window.
+
+    Returns (idx, ax, ay, abx, aby, inv, bw, counts): idx (B, k) int32,
+    SoA arrays (B, LE) f32 / int32 bw, counts (4 + n_layers, B) int32 --
+    rows [live, one-band count, short count, dropped, per-layer live *
+    n_layers]. Slots are ordered one-band (nb == 1) first, then
+    remaining shorts (nb == 2), then talls: the kernel's one-band tier
+    evaluates an 8-row window (half the vector issues of the fused
+    16-row window), which ~37% of realistic segments qualify for. The
+    per-layer rows let the kernel skip zeroing / converting layers with
+    no eligible segments. The band word stores the UNCLAMPED start band
+    (the one-band tier needs it exact); 16-row tiers clamp it in-kernel.
+    Same eligibility / budget semantics as `compact_env_soa`.
+    """
+    a, b = _int_endpoints(p0, p1, jnp.float32)
+    bsz, nl, e, _ = a.shape
+    ax0, ay0, bx0, by0 = a[..., 0], a[..., 1], b[..., 0], b[..., 1]
+
+    rf = float(_stroke_radius_sq(thickness)) ** 0.5
+    n_bands, hp, win = _window_rows(gran, h)
+    n_frames = nl if edge_layer is None else n_layers
+    nxb = _n_xblocks(w) if w is not None else 1
+    assert n_bands < _NB_PACK, "frame too tall for the packed band word"
+    assert n_frames * nxb * n_bands < (1 << 24) // _NB_PACK, (
+        "stacked frames too tall for band word"
+    )
+    ylo = jnp.minimum(ay0, by0) - rf
+    yhi = jnp.maximum(ay0, by0) + rf
+    b0 = jnp.clip(jnp.floor(ylo / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
+    b1 = jnp.clip(jnp.floor(yhi / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
+    valid = (yhi >= 0.0) & (ylo <= h - 1.0) & draw
+    nb = jnp.where(valid, b1 + 1 - b0, 0)
+    b0c = jnp.minimum(b0, (hp - win) // gran)
+    if edge_layer is None:
+        lay = jax.lax.broadcasted_iota(jnp.int32, draw.shape, 1)
+    else:
+        lay = jnp.broadcast_to(edge_layer[None, None, :], draw.shape)
+
+    if nxb > 1:
+        xlo = jnp.minimum(ax0, bx0) - rf
+        xhi = jnp.maximum(ax0, bx0) + rf
+        bidx = jnp.arange(nxb, dtype=jnp.int32)
+        xoff = (bidx * _XB).astype(jnp.float32)
+        touch = (xlo[..., None] <= xoff + (_XB - 1)) & (
+            xhi[..., None] >= xoff
+        )
+        expand = lambda x: jnp.broadcast_to(x[..., None], x.shape + (nxb,))
+        ax0 = ax0[..., None] - xoff
+        bx0 = bx0[..., None] - xoff
+        ay0, by0, b0c = expand(ay0), expand(by0), expand(b0c)
+        b0 = expand(b0)
+        nb = jnp.where(touch, nb[..., None], 0)
+        frame = expand(lay) * nxb + bidx
+    else:
+        frame = lay
+
+    roff = (frame * hp).astype(jnp.float32)
+    ay0 = ay0 + roff
+    by0 = by0 + roff
+    # With the one-band tier enabled, nb == 1 slots carry the TRUE start
+    # band -- their 8-row window must land exactly; wider tiers carry
+    # the clamped start so the unconditional 16-row window stays inside
+    # the frame strip. (Measured on the realistic workload the one-band
+    # tier LOSES ~0.3 ms -- only 23% of copies qualify and the extra
+    # loop overhead eats the saved issues -- so it is off by default;
+    # docs/KERNELS.md round-2 notes.)
+    b0enc = jnp.where(nb == 1, b0, b0c) if one_tier else b0c
+    bw = (frame * n_bands + b0enc) * _NB_PACK + nb
+
+    le = nl * e * nxb
+    flat = lambda x: x.reshape(bsz, le)
+    ax0, ay0, bx0, by0, bw = map(flat, (ax0, ay0, bx0, by0, bw))
+    draw2 = flat(nb > 0)
+    one = flat(nb == 1)
+    tall = flat(nb > win // gran)
+
+    abx, aby = bx0 - ax0, by0 - ay0
+    denom = abx * abx + aby * aby
+    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bsz, le), 1)
+    if one_tier:
+        key = jnp.where(
+            draw2,
+            jnp.where(
+                one, 3 * le - iota,
+                jnp.where(tall, le - iota, 2 * le - iota),
+            ),
+            -iota,
+        )
+    else:
+        key = jnp.where(
+            draw2, jnp.where(tall, le - iota, 2 * le - iota), -iota
+        )
+    n_elig = jnp.sum(draw2, axis=-1).astype(jnp.int32)
+    n_all = jnp.minimum(n_elig, k)
+    if one_tier:
+        n_one = jnp.minimum(
+            jnp.sum(draw2 & one, axis=-1), k
+        ).astype(jnp.int32)
+    else:
+        n_one = jnp.zeros_like(n_all)
+    n_short = jnp.minimum(
+        jnp.sum(draw2 & ~tall, axis=-1), k
+    ).astype(jnp.int32)
+    n_drop = n_elig - n_all
+
+    if k < le:
+        _, idx = jax.lax.top_k(key, k)  # (B, k)
+    else:
+        idx = jnp.argsort(-key, axis=-1).astype(jnp.int32)
+    # One pad slot (duplicate of the last): each tier's pair loop may
+    # over-run one slot past its end -- the redraw is an idempotent OR,
+    # so an over-run into the pad (or the next tier) is harmless.
+    idx = jnp.concatenate([idx, idx[:, -1:]], axis=-1)
+    n_out_layers = nl if edge_layer is None else n_layers
+    lay_flat = flat(jnp.broadcast_to(
+        lay[..., None] if nxb > 1 else lay, nb.shape))
+    onehot_l = lay_flat[:, None, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (bsz, n_out_layers, le), 1
+    )
+    per_layer = jnp.sum(
+        draw2[:, None, :] & onehot_l, axis=-1, dtype=jnp.int32
+    )  # (B, n_layers) eligible copies per layer
+    counts = jnp.concatenate(
+        [jnp.stack([n_all, n_one, n_short, n_drop]), per_layer.T], axis=0
+    )
+    return idx, ax0, ay0, abx, aby, inv, bw, counts
+
+
+def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
+                one_tier=False):
+    """Shared three-tier segment loops over one env's slots.
+
+    `load(s)` returns slot s's SoA scalars (ax, ay, abx, aby, inv, bw).
+    Tier 1 (slots [0, n_one)): one-band segments, a single 8-row window
+    at the exact band -- half the vector issues of the fused window.
+    Tier 2 (slots [n_one, n_short)): two-band segments, the 16-row
+    window at the clamped start band. Tier 3 (slots [n_short, n)):
+    talls, 16-row window plus a dynamic per-band tail. Tiers 1-2 are
+    pair-unrolled; an over-run into the next tier stamps a subset of
+    that segment's bands, which its own tier re-covers (idempotent OR).
+    """
+    xs8 = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 1).astype(jnp.float32)
+    ys8 = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 0).astype(jnp.float32)
+    xs16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 1).astype(jnp.float32)
+    ys16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 0).astype(jnp.float32)
+
+    def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live):
+        ysf = ys + y0.astype(jnp.float32)
+        apx = xs - ax
+        apy = ysf - ay
+        t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
+        dx = apx - t * abx
+        dy = apy - t * aby
+        hit = ((dx * dx + dy * dy) <= r2) & live
+        cur = scratch[pl.ds(y0, rows), :]
+        scratch[pl.ds(y0, rows), :] = jnp.where(hit, 255.0, cur)
+
+    def win8(s):
+        ax, ay, abx, aby, inv, bw = load(s)
+        b0 = bw // _NB_PACK
+        nb = bw - b0 * _NB_PACK
+        stamp(xs8, ys8, gran, b0 * gran, ax, ay, abx, aby, inv, nb > 0)
+
+    def win16(s):
+        ax, ay, abx, aby, inv, bw = load(s)
+        b0 = bw // _NB_PACK
+        nb = bw - b0 * _NB_PACK
+        stamp(xs16, ys16, win, b0 * gran, ax, ay, abx, aby, inv, nb > 0)
+        return ax, ay, abx, aby, inv, b0, nb
+
+    if one_tier:
+        def pair8(p, _):
+            win8(2 * p)
+            win8(2 * p + 1)
+            return 0
+
+        jax.lax.fori_loop(0, (n_one + 1) // 2, pair8, 0)
+
+        def pair16(p, _):
+            win16(n_one + 2 * p)
+            win16(n_one + 2 * p + 1)
+            return 0
+
+        jax.lax.fori_loop(0, (n_short - n_one + 1) // 2, pair16, 0)
+    else:
+        def pair16(p, _):
+            win16(2 * p)
+            win16(2 * p + 1)
+            return 0
+
+        jax.lax.fori_loop(0, (n_short + 1) // 2, pair16, 0)
+
+    def tall_one(s, _):
+        ax, ay, abx, aby, inv, b0, nb = win16(s)
+
+        def tail(bi, _):
+            stamp(
+                xs8, ys8, gran, bi * gran, ax, ay, abx, aby, inv, nb > 0
+            )
+            return 0
+
+        jax.lax.fori_loop(b0 + win // gran, b0 + nb, tail, 0)
+        return 0
+
+    jax.lax.fori_loop(n_short, n, tall_one, 0)
+
+
+def _kernel_env_idx(
+    count_ref,
+    idx_ref,
+    ax_ref,
+    ay_ref,
+    abx_ref,
+    aby_ref,
+    inv_ref,
+    bw_ref,
+    out_ref,
+    scratch,
+    *,
+    n_layers,
+    h,
+    hp,
+    w,
+    r2,
+    gran,
+    win,
+    nxb,
+    group,
+    one_tier,
+):
+    """Env-merged kernel with slot->copy index indirection and optional
+    multi-env grid packing, blocked (automatic) output path.
+
+    Same tiered window loops as `_kernel_env_dma` (see `_tier_loops`);
+    per slot the SoA scalars are read through `idx_ref` (one extra SMEM
+    scalar load), which lets the caller skip the one-hot routing matmul
+    entirely. `group` envs share one grid instance.
+    """
+    wb = _XB if nxb > 1 else w
+    i = pl.program_id(0)
+
+    for g in range(group):
+        n = count_ref[0, i * group + g]
+        n_one = count_ref[1, i * group + g]
+        n_short = count_ref[2, i * group + g]
+
+        @pl.when(n == 0)
+        def _empty(g=g):
+            for l in range(n_layers):
+                out_ref[g, l] = jnp.zeros((h, w), jnp.uint8)
+
+        @pl.when(n > 0)
+        def _live(g=g, n=n, n_one=n_one, n_short=n_short):
+            scratch[:] = jnp.zeros((n_layers * nxb * hp, wb), jnp.float32)
+
+            def load(s, g=g):
+                e = idx_ref[g, 0, s]
+                return (
+                    ax_ref[g, 0, e],
+                    ay_ref[g, 0, e],
+                    abx_ref[g, 0, e],
+                    aby_ref[g, 0, e],
+                    inv_ref[g, 0, e],
+                    bw_ref[g, 0, e],
+                )
+
+            _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran,
+                        win, one_tier=one_tier)
+            for l in range(n_layers):
+                # f32 -> int32 -> uint8 (direct f32->uint8 miscompiles)
+                if nxb == 1:
+                    frame = scratch[l * hp : l * hp + h]
+                else:
+                    strips = [
+                        scratch[(l * nxb + bl) * hp : (l * nxb + bl) * hp + h]
+                        for bl in range(nxb)
+                    ]
+                    frame = jnp.concatenate(strips, axis=1)[:, :w]
+                out_ref[g, l] = frame.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_layers", "resolution", "thickness", "gran", "split", "group",
+        "one_tier", "interpret",
+    ),
+)
+def rasterize_env_idx(
+    soa,  # from compact_env_idx, leading dim (B,)
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    gran: int = 8,
+    split: bool = False,
+    group: int = 1,
+    one_tier: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, L, H, W) uint8 masks from a `compact_env_idx` bundle via the
+    blocked output path. `gran`/`split` must match `compact_env_idx`'s
+    arguments; `group` packs that many envs per grid instance (B must
+    divide by it). Production uses `rasterize_env_dma`; this variant is
+    kept for A/B measurement (docs/KERNELS.md round-2 notes).
+    """
+    idx, ax, ay, abx, aby, inv, bw, counts = soa
+    h, w = resolution
+    bsz, le = ax.shape
+    kp = idx.shape[-1]
+    assert bsz % group == 0, "batch must divide by the env group size"
+    _, hp, win = _window_rows(gran, h)
+    nxb = _n_xblocks(w) if split else 1
+    r2 = float(_stroke_radius_sq(thickness))
+    kernel = functools.partial(
+        _kernel_env_idx,
+        n_layers=n_layers,
+        h=h,
+        hp=hp,
+        w=w,
+        r2=r2,
+        gran=gran,
+        win=win,
+        nxb=nxb,
+        group=group,
+        one_tier=one_tier,
+    )
+    smem_idx = pl.BlockSpec(
+        (group, 1, kp), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    smem_soa = pl.BlockSpec(
+        (group, 1, le), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    wb = _XB if nxb > 1 else w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the count bundle lands in SMEM
+        grid=(bsz // group,),
+        in_specs=[smem_idx] + [smem_soa] * 6,
+        out_specs=pl.BlockSpec(
+            (group, n_layers, h, w), lambda i, c: (i, 0, 0, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((n_layers * nxb * hp, wb), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_layers, h, w), jnp.uint8),
+        interpret=interpret,
+    )(
+        counts,
+        idx.reshape(bsz, 1, kp),
+        *(x.reshape(bsz, 1, le) for x in (ax, ay, abx, aby, inv, bw)),
+    )
+
+
+def _kernel_env_dma(
+    count_ref,
+    idx_ref,
+    ax_ref,
+    ay_ref,
+    abx_ref,
+    aby_ref,
+    inv_ref,
+    bw_ref,
+    out_hbm,
+    scratch,
+    staging,
+    sems,
+    *,
+    n_layers,
+    h,
+    hp,
+    w,
+    r2,
+    gran,
+    win,
+    nxb,
+    group,
+    nbuf,
+    one_tier,
+):
+    """Index-indirection kernel with tiered windows and a hand-rolled,
+    multi-buffered output DMA.
+
+    The uint8 observation write is the kernel's hard floor (~2.5-3 ms
+    for 4096 x 5 x (128,160) regardless of layout, buffering, or store
+    skipping -- docs/KERNELS.md round-2 notes). The output stays in HBM
+    (`memory_space=ANY`); each grid instance rasterizes `group` envs,
+    converts them into one of `nbuf` staging slabs, and issues ONE async
+    copy of the whole slab, waiting on the slab's semaphore `nbuf`
+    instances later, so several copies ride under the window compute.
+    """
+    wb = _XB if nxb > 1 else w
+    wp = nxb * _XB if nxb > 1 else max(w, _XB)
+    i = pl.program_id(0)
+    nprog = pl.num_programs(0)
+    buf = jax.lax.rem(i, nbuf)
+    st = staging.at[buf]
+
+    def slab_copy(inst, q):
+        return pltpu.make_async_copy(
+            staging.at[q], out_hbm.at[pl.ds(inst * group, group)], sems.at[q]
+        )
+
+    # The slab is free once the DMA issued `nbuf` instances ago landed.
+    @pl.when(i >= nbuf)
+    def _reclaim():
+        slab_copy(i - nbuf, buf).wait()
+
+    for g in range(group):
+        env = i * group + g
+        n = count_ref[0, env]
+        n_one = count_ref[1, env]
+        n_short = count_ref[2, env]
+
+        @pl.when(n > 0)
+        def _live(env=env, n=n, n_one=n_one, n_short=n_short, g=g):
+            # zero only live layers' strips; windows and the convert
+            # never touch a dead layer's strip
+            for l in range(n_layers):
+                @pl.when(count_ref[4 + l, env] > 0)
+                def _zero_strip(l=l):
+                    scratch[l * nxb * hp : (l + 1) * nxb * hp] = jnp.zeros(
+                        (nxb * hp, wb), jnp.float32
+                    )
+
+            def load(s, g=g):
+                e = idx_ref[g, 0, s]
+                return (
+                    ax_ref[g, 0, e],
+                    ay_ref[g, 0, e],
+                    abx_ref[g, 0, e],
+                    aby_ref[g, 0, e],
+                    inv_ref[g, 0, e],
+                    bw_ref[g, 0, e],
+                )
+
+            _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran,
+                        win, one_tier=one_tier)
+
+        for l in range(n_layers):
+            liv = count_ref[4 + l, env] > 0
+
+            @pl.when(liv)
+            def _convert(l=l, g=g):
+                # f32 -> int32 -> uint8 (direct cast miscompiles).
+                # Lanes past w are DMA'd but sliced off by the caller;
+                # zero-pad narrow frames so stores and DMA slices stay
+                # 128-lane aligned.
+                strips = [
+                    scratch[(l * nxb + bl) * hp : (l * nxb + bl) * hp + h]
+                    for bl in range(nxb)
+                ]
+                frame = jnp.concatenate(strips, axis=1)
+                if frame.shape[1] < wp:
+                    frame = jnp.concatenate(
+                        [frame, jnp.zeros(
+                            (h, wp - frame.shape[1]), jnp.float32)],
+                        axis=1,
+                    )
+                st[g, l] = frame.astype(jnp.int32).astype(jnp.uint8)
+
+            @pl.when(jnp.logical_not(liv))
+            def _zero(l=l, g=g):
+                st[g, l] = jnp.zeros((h, wp), jnp.uint8)
+
+    slab_copy(i, buf).start()
+
+    # Drain every in-flight DMA at the last instance.
+    for d in range(nbuf):
+        @pl.when((i == nprog - 1) & (i >= d))
+        def _drain(d=d):
+            slab_copy(i - d, jax.lax.rem(i - d, nbuf)).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_layers", "resolution", "thickness", "gran", "split", "group",
+        "nbuf", "one_tier", "interpret",
+    ),
+)
+def rasterize_env_dma(
+    soa,  # from compact_env_idx, leading dim (B,)
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    gran: int = 8,
+    split: bool = False,
+    group: int = 8,
+    nbuf: int = 3,
+    one_tier: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, L, H, W) uint8 masks via the multi-buffered manual-DMA
+    kernel. `gran`/`split` must match `compact_env_idx`'s arguments;
+    `group` envs share one grid instance and one output DMA (B must
+    divide by it), `nbuf` staging slabs ride in flight.
+
+    Internally the HBM output is lane-padded to a 128-multiple width
+    (DMA slices must be 128-lane aligned); the returned value is a lazy
+    `[..., :w]` slice that fuses into in-graph consumers for free and
+    costs one copy only when the observation is itself a program
+    output. Requires h to be a multiple of 8 on real hardware (camera
+    resolutions are); arbitrary h works in interpret mode.
+    """
+    idx, ax, ay, abx, aby, inv, bw, counts = soa
+    h, w = resolution
+    bsz, le = ax.shape
+    kp = idx.shape[-1]
+    assert bsz % group == 0, "batch must divide by the env group size"
+    _, hp, win = _window_rows(gran, h)
+    nxb = _n_xblocks(w) if split else 1
+    wp = nxb * _XB if nxb > 1 else max(w, _XB)
+    r2 = float(_stroke_radius_sq(thickness))
+    kernel = functools.partial(
+        _kernel_env_dma,
+        n_layers=n_layers,
+        h=h,
+        hp=hp,
+        w=w,
+        r2=r2,
+        gran=gran,
+        win=win,
+        nxb=nxb,
+        group=group,
+        nbuf=nbuf,
+        one_tier=one_tier,
+    )
+    smem_idx = pl.BlockSpec(
+        (group, 1, kp), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    smem_soa = pl.BlockSpec(
+        (group, 1, le), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    wb = _XB if nxb > 1 else w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz // group,),
+        in_specs=[smem_idx] + [smem_soa] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((n_layers * nxb * hp, wb), jnp.float32),
+            pltpu.VMEM((nbuf, group, n_layers, h, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_layers, h, wp), jnp.uint8),
+        interpret=interpret,
+    )(
+        counts,
+        idx.reshape(bsz, 1, kp),
+        *(x.reshape(bsz, 1, le) for x in (ax, ay, abx, aby, inv, bw)),
+    )
+    return out if wp == w else out[..., :w]
+
+
 def segment_overflow(
     p0: jnp.ndarray,  # (B, E, 2) packed or (B, L, E, 2) per-layer coords
     p1: jnp.ndarray,
@@ -768,11 +1351,14 @@ def rasterize_masks_packed_pallas(
     p0 = p0.reshape(-1, 1, e, 2)
     p1 = p1.reshape(-1, 1, e, 2)
     draw = draw.reshape(-1, 1, e)
-    soa = compact_env_soa(
+    # Index-indirection compaction (no one-hot routing matmul): measured
+    # 3.0 -> 1.7 ms compaction / 9.5 -> 8.9 ms fused at the 4096-env
+    # reference workload vs compact_env_soa (docs/KERNELS.md round-2).
+    soa = compact_env_idx(
         p0, p1, draw, k, gran, h, thickness,
         edge_layer=edge_layer, n_layers=n_layers, w=w,
     )
-    masks = rasterize_compact_env_soa(
+    masks = rasterize_env_idx(
         soa, n_layers, tuple(resolution), thickness, gran=gran,
         split=True, interpret=interpret,
     )
@@ -811,8 +1397,8 @@ def rasterize_masks_pallas(
     p0 = p0.reshape(-1, nl, e, 2)
     p1 = p1.reshape(-1, nl, e, 2)
     draw = draw.reshape(-1, nl, e)
-    soa = compact_env_soa(p0, p1, draw, k, gran, h, thickness, w=w)
-    masks = rasterize_compact_env_soa(
+    soa = compact_env_idx(p0, p1, draw, k, gran, h, thickness, w=w)
+    masks = rasterize_env_idx(
         soa, nl, tuple(resolution), thickness, gran=gran, split=True,
         interpret=interpret,
     )

@@ -26,9 +26,19 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """`jax.distributed.initialize` wrapper; on TPU pods arguments are
-    auto-detected from the environment (no-op on a single host)."""
-    if jax.process_count() > 1:
+    auto-detected from the environment (no-op on a single host).
+
+    Must run before any JAX backend initializes -- in particular, do NOT
+    probe `jax.process_count()` here: that call itself initializes the
+    local backend and would turn the subsequent distributed initialize
+    into a silent no-op (the round-1 bug tests/test_multihost.py now
+    guards against).
+    """
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -36,8 +46,9 @@ def initialize(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
+        if explicit:
+            raise
         # single-process run without cluster env vars: stay local
-        pass
 
 
 def local_batch_slice(n_global_envs: int) -> slice:
