@@ -1,0 +1,218 @@
+"""Measure BASELINE.json configs 1, 3 and 4 on the real chip.
+
+Config 2 (4096-env simple_layout throughput) is bench.py; config 5
+(multi-host) is validated functionally by tests/test_multihost.py (no
+multi-host hardware here). This measures the rest:
+
+  1: single env, gym shim, random policy, 64x64 classes -- ours AND the
+     reference implementation (when mounted), wall-clock steps/s. The
+     single-env number is dominated by per-step dispatch latency on the
+     tunneled chip; it is the interactive-UX number, not a throughput
+     number.
+  3: knuffingen full map, 480x640 classes, maneuver switching, batched
+     (BENCH_ENVS3, default 512) -- honest-protocol fused scan, median of
+     5, plus the max_visible overflow count at that density.
+  4: fused TD3 actor-learner (rollout + replay + update per env-step),
+     64 envs x 100-step chunks, steady-state env-steps/s and updates/s.
+
+Usage: python benchmarks/baseline_configs.py [1 3 4]
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+
+def config1():
+    import gymnasium as gym
+
+    import tinycarlo_tpu  # noqa: F401
+
+    cfg = {
+        "sim": {"fps": 30, "observation_space_format": "classes"},
+        "car": {"wheelbase": 0.0487, "track_width": 0.027,
+                "max_velocity": 0.15, "max_steering_angle": 30,
+                "steering_speed": 30, "max_acceleration": 0.1,
+                "max_deceleration": 1.0},
+        "camera": {"position": [0.0, -0.005, 0.04],
+                   "orientation": [22, 0, 0], "resolution": [64, 64],
+                   "fov": 80, "max_range": 0.5, "line_thickness": 2},
+        "map": {"json_path": os.path.join(
+            REPO, "examples/maps/simple_layout.json"),
+            "pixel_per_meter": 450},
+    }
+
+    def run(env_id_make, steps=200):
+        env = env_id_make()
+        env.reset(seed=3)
+        env.action_space.seed(3)
+        # warm one step (first jit compile)
+        env.step(env.action_space.sample())
+        st = time.perf_counter()
+        for _ in range(steps):
+            _, _, term, trunc, _ = env.step(env.action_space.sample())
+            if term or trunc:
+                env.reset()
+        return steps / (time.perf_counter() - st)
+
+    ours = run(lambda: gym.make("tinycarlo-v2", config=cfg))
+    ref = None
+    if os.path.isdir(os.path.join(REFERENCE, "tinycarlo")):
+        sys.path.insert(0, REFERENCE)
+        from tinycarlo.env import TinyCarloEnv
+
+        rcfg = dict(cfg)
+        rcfg["map"] = dict(cfg["map"], json_path=os.path.join(
+            REFERENCE, "examples/maps/simple_layout.json"))
+        ref = run(lambda: TinyCarloEnv(config=rcfg))
+    print(json.dumps({
+        "config": 1,
+        "metric": "single-env gym shim steps/s (64x64 classes, random)",
+        "ours": round(ours, 1),
+        "reference": round(ref, 1) if ref else None,
+    }))
+
+
+def config3():
+    import jax
+    import jax.numpy as jnp
+
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu import vector
+
+    n_envs = int(os.environ.get("BENCH_ENVS3", 512))
+    cfg = {
+        "sim": {"fps": 30, "observation_space_format": "classes"},
+        "car": {"wheelbase": 0.0487, "track_width": 0.027,
+                "max_velocity": 0.1, "max_steering_angle": 30,
+                "steering_speed": 30, "max_acceleration": 0.1,
+                "max_deceleration": 1.0},
+        "camera": {"position": [0.0, -0.005, 0.04],
+                   "orientation": [22, 0, 0], "resolution": [480, 640],
+                   "fov": 80, "max_range": 0.5, "line_thickness": 2},
+        "map": {"json_path": os.path.join(
+            REPO, "examples/maps/knuffingen.json"),
+            "pixel_per_meter": 222},
+    }
+    params = fenv.make_env_params(cfg)
+
+    def body(carry, i):
+        vstate, checksum = carry
+        obs = fenv.render_observation_batch(params, vstate.env)
+        checksum = checksum + jnp.sum(obs, dtype=jnp.uint32)
+        # maneuver switching: cycle straight/right/left per scan step and
+        # env (u-turn entry exercised via the per-step remap)
+        man = jnp.mod(
+            i + jnp.arange(n_envs, dtype=jnp.int32), 4
+        ).astype(jnp.int32)
+        action = {
+            "car_control": jnp.tile(
+                jnp.asarray([0.5, 0.05], jnp.float32), (n_envs, 1)),
+            "maneuver": man,
+        }
+        vstate, _, _, _, _, _ = vector.step(
+            params, vstate, action, render=False, max_episode_steps=1000)
+        return (vstate, checksum), None
+
+    @jax.jit
+    def rollout(vstate):
+        (vstate, checksum), _ = jax.lax.scan(
+            body, (vstate, jnp.zeros((), jnp.uint32)),
+            jnp.arange(20, dtype=jnp.int32))
+        return vstate, checksum
+
+    vstate, _ = vector.reset(params, jax.random.key(0), n_envs, render=False)
+    overflow = int(np.asarray(
+        fenv.check_segment_overflow(params, vstate.env)).max())
+    vstate, checksum = rollout(vstate)
+    assert int(checksum) > 0
+    rates = []
+    for _ in range(5):
+        st = time.perf_counter()
+        vstate, checksum = rollout(vstate)
+        assert int(checksum) > 0
+        rates.append(n_envs * 20 / (time.perf_counter() - st))
+    rates.sort()
+    print(json.dumps({
+        "config": 3,
+        "metric": "knuffingen 480x640 classes env-steps/s, maneuver"
+                  " switching",
+        "value": round(rates[2], 1),
+        "spread": [round(rates[0], 1), round(rates[-1], 1)],
+        "n_envs": n_envs,
+        "max_visible_overflow_at_reset": overflow,
+    }))
+
+
+def config4():
+    import jax
+    import jax.numpy as jnp
+
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu.models.tinycar_net import TinycarEncoder
+    from tinycarlo_tpu.train import td3
+    from tinycarlo_tpu.train.evaluate import standard_stack
+    from tinycarlo_tpu.train.il import pre_obs
+    from tinycarlo_tpu.train.td3_loop import LoopConfig, chunk, init_loop
+
+    n_envs, chunk_steps = 64, 100
+    params = fenv.make_env_params(os.path.join(
+        REPO, "examples/config_simple_layout.yaml"))
+    import dataclasses
+    params = params.replace(cfg=dataclasses.replace(
+        params.cfg, sim=dataclasses.replace(
+            params.cfg.sim, observation_space_format="classes")))
+    cfg = td3.TD3Config()
+    loop_cfg = LoopConfig(speed=0.4, replay_size=100_000,
+                          max_episode_steps=1000)
+    stack = standard_stack()
+    enc = TinycarEncoder()
+    obs_shape = fenv.observation_shape(params)
+    enc_vars = enc.init(
+        jax.random.key(1), pre_obs(jnp.zeros((1, *obs_shape), jnp.uint8)))
+
+    def encoder_apply(obs):
+        return enc.apply(enc_vars, pre_obs(obs))
+
+    from functools import partial
+    state = init_loop(params, cfg, loop_cfg, jax.random.key(0), n_envs,
+                      stack)
+    run = jax.jit(partial(chunk, params=params, cfg=cfg, loop_cfg=loop_cfg,
+                          encoder_apply=encoder_apply, n_steps=chunk_steps,
+                          stack=stack))
+    state, out = run(state)
+    float(np.asarray(out["reward"]).sum())  # warm + sync
+    # fill the buffer past one batch so updates actually run
+    state, out = run(state)
+    float(np.asarray(out["reward"]).sum())
+    rates = []
+    for _ in range(5):
+        st = time.perf_counter()
+        state, out = run(state)
+        s = float(np.asarray(out["reward"]).sum())  # forced transfer
+        rates.append(n_envs * chunk_steps / (time.perf_counter() - st))
+    rates.sort()
+    updates_per_sec = rates[2] / n_envs * loop_cfg.updates_per_step
+    print(json.dumps({
+        "config": 4,
+        "metric": "fused TD3 rollout+replay+update env-steps/s",
+        "value": round(rates[2], 1),
+        "spread": [round(rates[0], 1), round(rates[-1], 1)],
+        "n_envs": n_envs,
+        "td3_updates_per_s": round(updates_per_sec, 1),
+        "buffer_filled": int(np.asarray(state.buf.filled)),
+    }))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["1", "3", "4"]
+    for w in which:
+        {"1": config1, "3": config3, "4": config4}[w]()

@@ -25,7 +25,7 @@ MAXVIS = 128
 ITERS = 30
 N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
 CACHE = f"/tmp/exp_r2_packed_{N_ENVS}.npz"
-REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_packed():
@@ -45,7 +45,7 @@ def load_packed():
                    "resolution": [H, W], "fov": 80, "max_range": 0.5,
                    "line_thickness": THICK},
         "map": {"json_path": os.path.join(
-            REFERENCE, "examples/maps/simple_layout.json"),
+            REPO, "examples/maps/simple_layout.json"),
             "pixel_per_meter": 450},
     }
     params = fenv.make_env_params(config)

@@ -38,7 +38,7 @@ H, W, THICK, K, GRAN = 128, 160, 2, 128, 8
 ITERS = 30
 N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
 CACHE = f"/tmp/rasterize_bench_segs_{N_ENVS}.npz"
-REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_segments():
@@ -60,7 +60,7 @@ def load_segments():
                    "resolution": [H, W], "fov": 80, "max_range": 0.5,
                    "line_thickness": THICK},
         "map": {"json_path": os.path.join(
-            REFERENCE, "examples/maps/simple_layout.json"),
+            REPO, "examples/maps/simple_layout.json"),
             "pixel_per_meter": 450},
     }
     params = fenv.make_env_params(config)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
 ITERS = 30
 H, W, THICK, GRAN, MAXVIS = 128, 160, 2, 8, 128
@@ -39,7 +39,7 @@ CONFIG = {
                "resolution": [H, W], "fov": 80, "max_range": 0.5,
                "line_thickness": THICK},
     "map": {"json_path": os.path.join(
-        REFERENCE, "examples/maps/simple_layout.json"),
+        REPO, "examples/maps/simple_layout.json"),
         "pixel_per_meter": 450},
 }
 SPEED, K = 0.5, 5.0

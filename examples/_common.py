@@ -2,14 +2,17 @@
 import os
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-REFERENCE_CONFIG = "/root/reference/examples/config_simple_layout.yaml"
 
 
 def default_config() -> str:
-    """Prefer the reference's own config/maps when mounted (drop-in
-    compatibility proof); otherwise bootstrap the generated loop track."""
-    if os.path.exists(REFERENCE_CONFIG):
-        return REFERENCE_CONFIG
+    """The vendored simple_layout config (standalone: the maps ship with
+    the repo, examples/maps/README.md); the generated loop track remains
+    available as examples/config_loop_track.yaml."""
+    return os.path.join(HERE, "config_simple_layout.yaml")
+
+
+def loop_track_config() -> str:
+    """Generated-map config; bootstraps the map json on first use."""
     map_path = os.path.join(HERE, "maps", "loop_track.json")
     if not os.path.exists(map_path):
         from tinycarlo_tpu.mapgen import generate_examples

@@ -97,6 +97,17 @@ if __name__ == "__main__":
     )
 
     c1_hist, c2_hist, a_hist, rew_hist = [], [], [], []
+    cte_hist, dist_hist = [], []
+    # per-net weight snapshots every chunk: the batched analogue of the
+    # reference's every-200-steps tracking (train_td3.py:151-158)
+    w_hist = {"actor": {}, "critic1": {}, "critic2": {}}
+
+    def snapshot_weights(step):
+        tlog.snapshot_params(state.td3_state.actor, step, w_hist["actor"])
+        tlog.snapshot_params(state.td3_state.critic1, step, w_hist["critic1"])
+        tlog.snapshot_params(state.td3_state.critic2, step, w_hist["critic2"])
+
+    snapshot_weights(0)
     st = time.perf_counter()
     for i in range(n_chunks):
         # per-chunk OU sigma decay, the batched analogue of the reference's
@@ -110,6 +121,9 @@ if __name__ == "__main__":
         c2_hist += list(out["critic2_loss"])
         a_hist += [x for x in out["actor_loss"] if x != 0.0]
         rew_hist.append(float(out["reward"].sum() / max(1, out["done"].sum())))
+        cte_hist += list(out["cte"].mean(axis=-1))
+        dist_hist += list(out["laneline_distances"])
+        snapshot_weights((i + 1) * chunk_steps)
         now = time.perf_counter()
         sps = chunk_steps * n_envs / (now - st)  # this chunk only, so the
         st = now  # first chunk's compile time doesn't drown the steady rate
@@ -119,9 +133,19 @@ if __name__ == "__main__":
             f"buffer {int(state.buf.filled)}"
         )
 
-    tlog.save_losses(OUT_DIR, c1_hist, c2_hist, a_hist,
-                     "with_shift" if include_shift else "without_shift")
-    tlog.save_rewards(OUT_DIR, rew_hist)
+    sfx = "with_shift" if include_shift else "without_shift"
+    tlog.save_losses(OUT_DIR, c1_hist, c2_hist, a_hist, sfx)
+    tlog.save_rewards(OUT_DIR, rew_hist, sfx)
+    tlog.save_series(OUT_DIR, "cte", cte_hist, sfx)
+    import numpy as _np
+    dist = _np.asarray(dist_hist)  # (steps, L)
+    for li, lname in enumerate(params.map_data.laneline_names):
+        tlog.save_series(OUT_DIR, lname, dist[:, li], sfx)
+    for net in ("actor", "critic1", "critic2"):
+        tlog.save_weight_changes(
+            OUT_DIR, net, tlog.weight_changes(w_hist[net]),
+            step_interval=chunk_steps, suffix=sfx,
+        )
     tlog.plot_series(os.path.join(OUT_DIR, "critic_loss.png"),
                      {"critic1": c1_hist, "critic2": c2_hist})
     print(f"artifacts in {OUT_DIR}")

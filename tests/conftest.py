@@ -51,5 +51,9 @@ requires_reference = pytest.mark.skipif(
     not has_reference(), reason="reference implementation not available"
 )
 
-SIMPLE_LAYOUT_MAP = os.path.join(REFERENCE_PATH, "examples/maps/simple_layout.json")
-KNUFFINGEN_MAP = os.path.join(REFERENCE_PATH, "examples/maps/knuffingen.json")
+# Vendored copies of the reference maps (examples/maps/README.md): map-
+# dependent tests run standalone; only tests importing the reference CODE
+# as an oracle need the checkout (requires_reference).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SIMPLE_LAYOUT_MAP = os.path.join(_REPO, "examples/maps/simple_layout.json")
+KNUFFINGEN_MAP = os.path.join(_REPO, "examples/maps/knuffingen.json")

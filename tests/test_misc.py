@@ -75,3 +75,36 @@ def test_logging_utils(tmp_path):
 
     tlog.plot_series(os.path.join(out, "p.png"), {"a": [1, 2, 3]})
     assert os.path.exists(os.path.join(out, "p.png"))
+
+
+def test_save_weight_changes_schema(tmp_path):
+    """Long-format weight-change CSV matches the reference dashboard's
+    schema (pages/layout_utils.py:63-69)."""
+    import csv
+
+    from tinycarlo_tpu.train import logging as tlog
+
+    changes = {"fc1/kernel": [0.1, 0.2], "Conv_0/kernel": [0.3, 0.4]}
+    tlog.save_weight_changes(str(tmp_path), "actor", changes,
+                             step_interval=200, suffix="with_shift")
+    path = tmp_path / "actor_weight_changes_with_shift.csv"
+    rows = list(csv.reader(open(path)))
+    assert rows[0] == ["Step", "Layer", "Mean Absolute Weight Change"]
+    assert rows[1] == ["200", "Conv_0/kernel", "0.3"]
+    assert rows[2] == ["200", "fc1/kernel", "0.1"]
+    assert rows[3] == ["400", "Conv_0/kernel", "0.4"]
+    assert len(rows) == 5
+
+
+def test_weight_changes_snapshot_roundtrip():
+    import numpy as np
+
+    from tinycarlo_tpu.train import logging as tlog
+
+    hist = {}
+    p0 = {"a": {"kernel": np.zeros((2, 2))}}
+    p1 = {"a": {"kernel": np.full((2, 2), 0.5)}}
+    tlog.snapshot_params(p0, 0, hist)
+    tlog.snapshot_params(p1, 200, hist)
+    out = tlog.weight_changes(hist)
+    assert out == {"a/kernel": [0.5]}

@@ -23,7 +23,9 @@ def test_mesh_shapes():
 
 
 def test_tp_critic_numerics_unchanged():
-    """TP-sharded critic produces identical outputs to the replicated one."""
+    """TP-sharded critic produces identical outputs to the replicated one,
+    and the plan shards EXACTLY the intended matmuls (by explicit layer
+    name -- renaming a module breaks this test, not the sharding)."""
     mesh = parallel.make_mesh(model=2)
     critic = TinycarCritic()
     f = jnp.ones((8, 256), jnp.float32)
@@ -32,18 +34,53 @@ def test_tp_critic_numerics_unchanged():
     variables = critic.init(jax.random.key(0), f, m, a)
     expected = critic.apply(variables, f, m, a)
 
+    plan = parallel.tp_plan(variables["params"])
+    assert plan == {
+        ("fc1", "kernel"): "column",
+        ("fc1", "bias"): "column",
+        ("fc2", "kernel"): "row",
+    }, plan
+
     sharded_params = parallel.shard_params(variables["params"], mesh)
     got = jax.jit(
         lambda p, f, m, a: critic.apply({"params": p}, f, m, a)
     )(sharded_params, f, m, a)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5)
-    # at least one leaf is actually sharded over the model axis
-    specs = [
-        x.sharding.spec
-        for x in jax.tree.leaves(sharded_params)
-        if hasattr(x, "sharding")
-    ]
-    assert any("model" in str(s) for s in specs)
+    # the planned leaves really carry the model axis on device
+    flat = jax.tree_util.tree_flatten_with_path(sharded_params)[0]
+    for path, leaf in flat:
+        names = tuple(getattr(k, "key", str(k)) for k in path)
+        sharded = "model" in str(leaf.sharding.spec)
+        assert sharded == (names in plan), (names, leaf.sharding.spec)
+
+
+def test_tp_actor_plan_and_numerics():
+    """Actor trunk (fcm2/fcm3) and head (fc1/fc2) pairs are sharded; the
+    sharded apply matches the replicated one."""
+    from tinycarlo_tpu.models import TinycarActor
+
+    mesh = parallel.make_mesh(model=2)
+    actor = TinycarActor()
+    f = jnp.ones((8, 256), jnp.float32)
+    m = jax.nn.one_hot(jnp.zeros((8,), jnp.int32), 3)
+    variables = actor.init(jax.random.key(0), f, m)
+    expected = actor.apply(variables, f, m)
+
+    plan = parallel.tp_plan(variables["params"])
+    assert plan == {
+        ("_ManeuverTrunk_0", "fcm2", "kernel"): "column",
+        ("_ManeuverTrunk_0", "fcm2", "bias"): "column",
+        ("_ManeuverTrunk_0", "fcm3", "kernel"): "row",
+        ("_ActorHead_0", "fc1", "kernel"): "column",
+        ("_ActorHead_0", "fc1", "bias"): "column",
+        ("_ActorHead_0", "fc2", "kernel"): "row",
+    }, plan
+
+    sharded_params = parallel.shard_params(variables["params"], mesh)
+    got = jax.jit(lambda p, f, m: actor.apply({"params": p}, f, m))(
+        sharded_params, f, m
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5)
 
 
 def test_sp_rasterize_bit_equal():

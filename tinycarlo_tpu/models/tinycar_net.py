@@ -98,9 +98,14 @@ class _ManeuverTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, m):
-        m = nn.relu(nn.Dense(100, dtype=self.dtype)(m))
-        m = nn.relu(nn.Dense(200, dtype=self.dtype)(m))
-        return nn.relu(nn.Dense(self.in_features, dtype=self.dtype)(m))
+        # explicit reference layer names (tinycar_net.py fcm1-3): the TP
+        # plan in parallel/tp.py shards fcm2 column- and fcm3 row-wise by
+        # NAME, so a reorder cannot silently degrade to replicated
+        m = nn.relu(nn.Dense(100, dtype=self.dtype, name="fcm1")(m))
+        m = nn.relu(nn.Dense(200, dtype=self.dtype, name="fcm2")(m))
+        return nn.relu(
+            nn.Dense(self.in_features, dtype=self.dtype, name="fcm3")(m)
+        )
 
 
 class _ActorHead(nn.Module):
@@ -113,10 +118,14 @@ class _ActorHead(nn.Module):
     @nn.compact
     def __call__(self, f, m):
         out = jnp.concatenate([f, m], axis=-1)
-        out = nn.relu(nn.Dense(200, dtype=self.dtype)(out))
-        out = nn.relu(nn.Dense(100, dtype=self.dtype)(out))
-        out = nn.relu(nn.Dense(100, dtype=self.dtype)(out))
-        return nn.tanh(nn.Dense(self.action_dim, dtype=self.dtype)(out))
+        # explicit reference layer names (tinycar_net.py fc1-4); fc1/fc2
+        # are the TP column/row pair (parallel/tp.py)
+        out = nn.relu(nn.Dense(200, dtype=self.dtype, name="fc1")(out))
+        out = nn.relu(nn.Dense(100, dtype=self.dtype, name="fc2")(out))
+        out = nn.relu(nn.Dense(100, dtype=self.dtype, name="fc3")(out))
+        return nn.tanh(
+            nn.Dense(self.action_dim, dtype=self.dtype, name="fc4")(out)
+        )
 
 
 class TinycarActor(nn.Module):
@@ -207,11 +216,11 @@ class TinycarCritic(nn.Module):
 
     @nn.compact
     def __call__(self, f, m, a):
-        m = nn.relu(nn.Dense(FEATURE_VEC_SIZE, dtype=self.dtype)(m))
-        a = nn.relu(nn.Dense(FEATURE_VEC_SIZE, dtype=self.dtype)(a))
+        m = nn.relu(nn.Dense(FEATURE_VEC_SIZE, dtype=self.dtype, name="fcm")(m))
+        a = nn.relu(nn.Dense(FEATURE_VEC_SIZE, dtype=self.dtype, name="fca")(a))
         out = jnp.concatenate([f, m, a], axis=-1)
-        out = nn.relu(nn.Dense(512, dtype=self.dtype)(out))
-        return nn.Dense(1, dtype=self.dtype)(out)
+        out = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc1")(out))
+        return nn.Dense(1, dtype=self.dtype, name="fc2")(out)
 
 
 class TinycarCriticTemporal(nn.Module):
@@ -228,8 +237,8 @@ class TinycarCriticTemporal(nn.Module):
         m = nn.relu(nn.Dense(FEATURE_VEC_SIZE, dtype=self.dtype)(m))
         a = nn.relu(nn.Dense(FEATURE_VEC_SIZE, dtype=self.dtype)(a))
         out = jnp.concatenate([f, m, a], axis=-1)
-        out = nn.relu(nn.Dense(512, dtype=self.dtype)(out))
-        return nn.Dense(1, dtype=self.dtype)(out)
+        out = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc1")(out))
+        return nn.Dense(1, dtype=self.dtype, name="fc2")(out)
 
 
 # ---------------------------------------------------------------------------
@@ -292,14 +301,14 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     }
 
     trunk = {
-        f"Dense_{j}": {
+        f"fcm{j+1}": {
             "kernel": _t(sd[f"actor.fcm{j+1}.weight"]),
             "bias": sd[f"actor.fcm{j+1}.bias"],
         }
         for j in range(3)
     }
     head = {
-        f"Dense_{j}": {
+        f"fc{j+1}": {
             "kernel": _t(sd[f"actor.fc{j+1}.weight"]),
             "bias": sd[f"actor.fc{j+1}.bias"],
         }

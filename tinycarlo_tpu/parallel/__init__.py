@@ -17,4 +17,4 @@ from tinycarlo_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from tinycarlo_tpu.parallel.sp import rasterize_masks_sp  # noqa: F401
-from tinycarlo_tpu.parallel.tp import shard_params  # noqa: F401
+from tinycarlo_tpu.parallel.tp import shard_params, tp_plan  # noqa: F401

@@ -95,6 +95,29 @@ def weight_changes(
     return out
 
 
+def save_weight_changes(
+    out_dir: str,
+    net_name: str,
+    changes: Dict[str, List[float]],
+    step_interval: int = 1,
+    suffix: str = "",
+) -> None:
+    """Long-format per-layer weight-change CSV, the schema the reference
+    dashboard plots (pages/layout_utils.py:63-69: columns Step, Layer,
+    Mean Absolute Weight Change, one line per (snapshot, layer))."""
+    sfx = f"_{suffix}" if suffix else ""
+    rows = []
+    for layer, vals in changes.items():
+        for i, v in enumerate(vals, start=1):
+            rows.append((i * step_interval, layer, v))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    write_csv(
+        os.path.join(out_dir, f"{net_name}_weight_changes{sfx}.csv"),
+        ["Step", "Layer", "Mean Absolute Weight Change"],
+        rows,
+    )
+
+
 def snapshot_params(params, step: int, history: Dict[int, Dict[str, "np.ndarray"]]):
     """Record a flat {path: array} view of a param pytree (the reference's
     save_weights, train_td3.py:151-153, every-200-steps tracking)."""

@@ -175,6 +175,11 @@ def chunk(
             "reward": rew,
             "done": done,
             "cte": info["cte"],
+            # batch-mean per-laneline distances: the batched analogue of
+            # the reference's per-step distance logging (vis_utils.py)
+            "laneline_distances": jnp.mean(
+                info["laneline_distances"], axis=0
+            ),
             **losses,
         }
         s = s.replace(

@@ -151,13 +151,17 @@ def rollout(
     stack: Optional[WrapperStack] = None,
     max_episode_steps: Optional[int] = None,
     render: bool = True,
+    key: Optional[jnp.ndarray] = None,
 ):
     """Scan `n_steps` of (policy -> step) into one XLA program.
 
     `policy_fn(obs_or_none, env_state, key) -> action dict`; it receives
     the raw `EnvState` so observation-free controllers (Stanley) skip
     rendering entirely. Returns (final_state, trajectory pytree stacked
-    along a leading time axis).
+    along a leading time axis). Pass `key` to drive policy/noise streams;
+    the default derives one from env 0's key via a tagged fold_in --
+    usable, but correlated with that env's respawn stream, so callers
+    that care thread their own.
     """
 
     def body(carry, key):
@@ -187,5 +191,7 @@ def rollout(
             out["obs"] = obs
         return state, out
 
-    keys = jax.random.split(jax.random.fold_in(state.env.key[0], 0), n_steps)
+    if key is None:
+        key = jax.random.fold_in(state.env.key[0], 0x7A11)
+    keys = jax.random.split(key, n_steps)
     return jax.lax.scan(body, state, keys)
