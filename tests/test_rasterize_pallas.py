@@ -399,3 +399,46 @@ def test_env_check_segment_overflow():
     tiny = dataclasses.replace(params.cfg.camera, max_visible_segments=1)
     params_tiny = params.replace(cfg=dataclasses.replace(params.cfg, camera=tiny))
     assert np.asarray(fenv.check_segment_overflow(params_tiny, states)).max() > 0
+
+
+@pytest.mark.parametrize("group,nbuf", [(1, 2), (4, 3)])
+def test_env_dma_kernel_matches_reference(group, nbuf):
+    """The manual-DMA kernel variant (kept for A/B measurement) matches
+    the dense reference, including the grouped/multi-buffer layout and
+    an empty env in the batch."""
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        compact_env_idx,
+        rasterize_env_dma,
+    )
+
+    rng = np.random.default_rng(17)
+    L, E, H, W, B = 3, 20, 32, 160, 8
+    p0 = jnp.asarray(
+        np.stack([rng.uniform(-10, W + 10, (B, L, E)),
+                  rng.uniform(-10, H + 10, (B, L, E))], -1), jnp.float32)
+    p1 = jnp.asarray(
+        np.stack([rng.uniform(-10, W + 10, (B, L, E)),
+                  rng.uniform(-10, H + 10, (B, L, E))], -1), jnp.float32)
+    draw = rng.random((B, L, E)) < 0.5
+    draw[2] = False
+    draw = jnp.asarray(draw)
+    lay = jnp.repeat(jnp.arange(L, dtype=jnp.int32), E)
+    from tinycarlo_tpu.ops.rasterize_pallas import _n_xblocks
+
+    k = L * E * _n_xblocks(W)
+    soa = compact_env_idx(
+        p0.reshape(B, 1, L * E, 2), p1.reshape(B, 1, L * E, 2),
+        draw.reshape(B, 1, L * E), k, 8, H, 2,
+        edge_layer=lay, n_layers=L, w=W,
+    )
+    got = rasterize_env_dma(
+        soa, L, (H, W), 2, gran=8, split=True, group=group, nbuf=nbuf,
+        interpret=True,
+    )
+    assert got.shape == (B, L, H, W)
+    for i in range(B):
+        exp = ras.rasterize_masks(p0[i], p1[i], draw[i], (H, W), 2)
+        _assert_equal_up_to_stroke_boundary(
+            got[i], exp, p0[i], p1[i], draw[i], 2
+        )
+    np.testing.assert_array_equal(np.asarray(got[2]), 0)

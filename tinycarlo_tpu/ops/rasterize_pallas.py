@@ -864,15 +864,26 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
     ys16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 0).astype(jnp.float32)
 
     def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live):
-        ysf = ys + y0.astype(jnp.float32)
+        # scalar-unit folds keep the vector loop lean: the window row
+        # offset rides in ay, and the live check rides in the compare
+        # constant (dead slots get r2 = -1, which nothing satisfies)
+        ay = ay - y0.astype(jnp.float32)
+        r2eff = jnp.where(live, r2, -1.0)
         apx = xs - ax
-        apy = ysf - ay
+        apy = ys - ay
         t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
         dx = apx - t * abx
         dy = apy - t * aby
-        hit = ((dx * dx + dy * dy) <= r2) & live
-        cur = scratch[pl.ds(y0, rows), :]
-        scratch[pl.ds(y0, rows), :] = jnp.where(hit, 255.0, cur)
+        hit = (dx * dx + dy * dy) <= r2eff
+        # The lane slice start is y0 * 0 rather than a literal 0: a
+        # Python-int start lowers to int64 under x64 (interpret-mode
+        # tests) and dynamic_slice rejects mixed index dtypes; deriving
+        # it from y0 keeps both starts int32 in every mode.
+        pltpu.store(
+            scratch.at[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])],
+            jnp.full((rows, scratch.shape[-1]), 255.0, jnp.float32),
+            mask=hit,
+        )
 
     def win8(s):
         ax, ay, abx, aby, inv, bw = load(s)
@@ -1112,7 +1123,10 @@ def _kernel_env_dma(
     wp = nxb * _XB if nxb > 1 else max(w, _XB)
     i = pl.program_id(0)
     nprog = pl.num_programs(0)
-    buf = jax.lax.rem(i, nbuf)
+    # program_id is int32 compiled but can be weak-int64 in interpret
+    # mode under x64; pin it so rem/slice dtypes agree everywhere
+    i = jnp.asarray(i, jnp.int32)
+    buf = jax.lax.rem(i, jnp.int32(nbuf))
     st = staging.at[buf]
 
     def slab_copy(inst, q):
@@ -1188,7 +1202,7 @@ def _kernel_env_dma(
     for d in range(nbuf):
         @pl.when((i == nprog - 1) & (i >= d))
         def _drain(d=d):
-            slab_copy(i - d, jax.lax.rem(i - d, nbuf)).wait()
+            slab_copy(i - d, jax.lax.rem(i - d, jnp.int32(nbuf))).wait()
 
 
 @functools.partial(
