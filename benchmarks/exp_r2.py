@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-H, W, THICK, GRAN = 128, 160, 2, 8
+H, W, THICK, GRAN = 128, 160, 2, int(__import__("os").environ.get("GRAN", 16))
+ONETIER = bool(int(__import__("os").environ.get("ONETIER", 0)))
 MAXVIS = 128
 ITERS = 30
 N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
@@ -92,7 +93,7 @@ def main():
             if mode.startswith("idx"):
                 soa = rp.compact_env_idx(
                     a, b, d, k, GRAN, H, THICK,
-                    edge_layer=lay, n_layers=nl, w=W)
+                    edge_layer=lay, n_layers=nl, w=W, one_tier=ONETIER)
                 if mode == "idxc":
                     s = sum(jnp.sum(x.astype(jnp.float32)) for x in soa)
                     return c + s.astype(jnp.uint32), None
@@ -128,7 +129,8 @@ def main():
 
         soa0 = jax.block_until_ready(rp.compact_env_idx(
             jnp.asarray(p0np)[:, None], p1[:, None], draw[:, None],
-            k, GRAN, H, THICK, edge_layer=lay, n_layers=nl, w=W))
+            k, GRAN, H, THICK, edge_layer=lay, n_layers=nl, w=W,
+            one_tier=ONETIER))
 
         @functools.partial(jax.jit, static_argnames=("mode", "iters"))
         def loop_ko(soa, shift, mode, iters):
@@ -229,7 +231,8 @@ def main():
                     idx0, ax0, *rest = soa
                     out = rp.rasterize_env_idx(
                         (idx0, ax0 + shift + i * 1e-4, *rest), nl, (H, W),
-                        THICK, gran=GRAN, split=True, group=g)
+                        THICK, gran=GRAN, split=True, group=g,
+                        one_tier=ONETIER)
                 return c + jnp.sum(out.astype(jnp.uint32)), None
 
             return jax.lax.scan(

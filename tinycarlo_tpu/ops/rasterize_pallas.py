@@ -69,10 +69,21 @@ def _n_xblocks(w: int) -> int:
 
 
 def _window_rows(gran: int, h: int) -> Tuple[int, int, int]:
-    """(n_bands, padded height, window rows) for a given granularity."""
+    """(n_bands, padded height, window rows) for a given granularity.
+
+    Production uses gran=16 (32-row windows): measured FASTER than
+    gran=8/16-row windows (7.0 vs 7.7 ms at the 4096-env reference
+    workload) despite doubled vector rows per window, because nearly
+    every segment becomes single-window -- the per-tall-segment dynamic
+    tail `fori_loop` setup costs more than the extra rows. gran=4
+    (sub-f32-tile row alignment) measured 9.8 ms; gran=32, 7.7.
+    TINYCARLO_WINMULT overrides the window/gran ratio for experiments.
+    """
+    import os as _os
+    mult = int(_os.environ.get("TINYCARLO_WINMULT", 2))
     n_bands = -(-h // gran)
     hp = n_bands * gran
-    win = min(2 * gran, hp)
+    win = min(mult * gran, hp)
     return n_bands, hp, win
 
 
@@ -826,10 +837,10 @@ def compact_env_idx(
         _, idx = jax.lax.top_k(key, k)  # (B, k)
     else:
         idx = jnp.argsort(-key, axis=-1).astype(jnp.int32)
-    # One pad slot (duplicate of the last): each tier's pair loop may
-    # over-run one slot past its end -- the redraw is an idempotent OR,
-    # so an over-run into the pad (or the next tier) is harmless.
-    idx = jnp.concatenate([idx, idx[:, -1:]], axis=-1)
+    # Pad slots (duplicates of the last): each tier's unrolled loop may
+    # over-run past its end -- the redraw is an idempotent OR, so an
+    # over-run into the pad (or the next tier) is harmless.
+    idx = jnp.concatenate([idx] + [idx[:, -1:]] * 7, axis=-1)
     n_out_layers = nl if edge_layer is None else n_layers
     lay_flat = flat(jnp.broadcast_to(
         lay[..., None] if nxb > 1 else lay, nb.shape))
@@ -899,26 +910,38 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         return ax, ay, abx, aby, inv, b0, nb
 
     if one_tier:
-        def pair8(p, _):
-            win8(2 * p)
-            win8(2 * p + 1)
+        import os as _os
+        unroll = int(_os.environ.get("TINYCARLO_UNROLL", 8))
+
+        def pack8(p, _):
+            for u in range(unroll):
+                win8(unroll * p + u)
             return 0
 
-        jax.lax.fori_loop(0, (n_one + 1) // 2, pair8, 0)
+        jax.lax.fori_loop(0, (n_one + unroll - 1) // unroll, pack8, 0)
 
-        def pair16(p, _):
-            win16(n_one + 2 * p)
-            win16(n_one + 2 * p + 1)
+        def pack16(p, _):
+            for u in range(unroll):
+                win16(n_one + unroll * p + u)
             return 0
 
-        jax.lax.fori_loop(0, (n_short - n_one + 1) // 2, pair16, 0)
+        jax.lax.fori_loop(
+            0, (n_short - n_one + unroll - 1) // unroll, pack16, 0
+        )
     else:
-        def pair16(p, _):
-            win16(2 * p)
-            win16(2 * p + 1)
+        # 8-way unroll amortizes the fori_loop iteration mechanics:
+        # measured 7.7 (x2) -> 6.6 (x4) -> 6.5 ms (x8) at the 4096-env
+        # reference workload; the compaction pads 7 duplicate slots so
+        # the over-run past n_short stays in-bounds (idempotent OR).
+        import os as _os
+        unroll = int(_os.environ.get("TINYCARLO_UNROLL", 8))
+
+        def pack(p, _):
+            for u in range(unroll):
+                win16(unroll * p + u)
             return 0
 
-        jax.lax.fori_loop(0, (n_short + 1) // 2, pair16, 0)
+        jax.lax.fori_loop(0, (n_short + unroll - 1) // unroll, pack, 0)
 
     def tall_one(s, _):
         ax, ay, abx, aby, inv, b0, nb = win16(s)
@@ -1361,7 +1384,7 @@ def rasterize_masks_packed_pallas(
     # of max_visible * nxb copies (a worst-case segment touches every
     # block); narrower segments let more than max_visible fit.
     k = e * nxb if max_visible is None else min(max_visible * nxb, e * nxb)
-    gran = 8
+    gran = 16
     p0 = p0.reshape(-1, 1, e, 2)
     p1 = p1.reshape(-1, 1, e, 2)
     draw = draw.reshape(-1, 1, e)
@@ -1407,7 +1430,7 @@ def rasterize_masks_pallas(
         k = nl * e * nxb
     else:
         k = min(max_visible * nxb, nl * e * nxb)
-    gran = 8
+    gran = 16
     p0 = p0.reshape(-1, nl, e, 2)
     p1 = p1.reshape(-1, nl, e, 2)
     draw = draw.reshape(-1, nl, e)
