@@ -298,22 +298,64 @@ def car_info(map_data: MapData, cfg: CarConfig, state: CarState):
         geo.edge_orientations(lp.nodes, ref_edge) - state.rotation
     )
 
-    # Per-laneline nearest-edge distances (car.py:56-64), batched over layers.
-    def layer_distance(nodes, edges, edge_mask):
-        ne = edges[geo.nearest_edge_idx(nodes, edges, edge_mask, state.position)]
-        inside = geo.within_edge_bounds(nodes, ne, state.position)
-        d_perp = jnp.abs(geo.signed_distance_to_edge(nodes, ne, state.position))
-        d_node = jnp.minimum(
-            geo.distance(state.position, nodes[ne[0]]),
-            geo.distance(state.position_front, nodes[ne[1]]),
+    # Per-laneline nearest-edge distances (car.py:56-64). The endpoint-
+    # distance scan runs ONCE over the PACKED edge axis (all layers'
+    # real edges concatenated, ~3.6x fewer slots than the padded
+    # per-layer arrays on reference maps); the per-layer argmin is a
+    # masked min over the packed axis. Selection is identical to the
+    # reference's per-layer first-minimal scan: packing preserves each
+    # layer's original edge order and argmin returns the first minimum.
+    if map_data.packed_edges is not None:
+        pn = map_data.packed_nodes[0]
+        pe = map_data.packed_edges[0]
+        pm = map_data.packed_edge_mask[0]
+        lay = map_data.packed_edge_layer
+        p0, p1 = geo.edge_endpoints(pn, pe)
+        d = jnp.abs(
+            geo.distance(state.position, p0)
+            + geo.distance(state.position, p1)
         )
-        return jnp.where(inside, d_perp, d_node)
+        d = jnp.where(pm, d, jnp.asarray(geo._BIG, d.dtype))
+        n_layers = map_data.n_layers
+        onehot_l = lay[None, :] == jnp.arange(n_layers, dtype=lay.dtype)[
+            :, None
+        ]
+        dl = jnp.where(onehot_l, d[None, :], jnp.asarray(geo._BIG, d.dtype))
+        ne_idx = jnp.argmin(dl, axis=1)  # (L,) packed-edge indices
 
-    distances = jax.vmap(layer_distance)(
-        map_data.laneline_nodes,
-        map_data.laneline_edges,
-        map_data.laneline_edge_mask,
-    )
+        def edge_distance(ei):
+            ne = pe[ei]
+            inside = geo.within_edge_bounds(pn, ne, state.position)
+            d_perp = jnp.abs(
+                geo.signed_distance_to_edge(pn, ne, state.position)
+            )
+            d_node = jnp.minimum(
+                geo.distance(state.position, pn[ne[0]]),
+                geo.distance(state.position_front, pn[ne[1]]),
+            )
+            return jnp.where(inside, d_perp, d_node)
+
+        distances = jax.vmap(edge_distance)(ne_idx)
+    else:
+        def layer_distance(nodes, edges, edge_mask):
+            ne = edges[
+                geo.nearest_edge_idx(nodes, edges, edge_mask, state.position)
+            ]
+            inside = geo.within_edge_bounds(nodes, ne, state.position)
+            d_perp = jnp.abs(
+                geo.signed_distance_to_edge(nodes, ne, state.position)
+            )
+            d_node = jnp.minimum(
+                geo.distance(state.position, nodes[ne[0]]),
+                geo.distance(state.position_front, nodes[ne[1]]),
+            )
+            return jnp.where(inside, d_perp, d_node)
+
+        distances = jax.vmap(layer_distance)(
+            map_data.laneline_nodes,
+            map_data.laneline_edges,
+            map_data.laneline_edge_mask,
+        )
 
     zero = jnp.zeros((), dtype)
     return {
