@@ -163,7 +163,8 @@ def config4():
     from tinycarlo_tpu.train.il import pre_obs
     from tinycarlo_tpu.train.td3_loop import LoopConfig, chunk, init_loop
 
-    n_envs, chunk_steps = 64, 100
+    n_envs = int(os.environ.get("BENCH_ENVS4", 64))
+    chunk_steps = 100
     params = fenv.make_env_params(os.path.join(
         REPO, "examples/config_simple_layout.yaml"))
     import dataclasses
