@@ -1004,7 +1004,16 @@ def _kernel_env_idx(
 
         @pl.when(n > 0)
         def _live(g=g, n=n, n_one=n_one, n_short=n_short):
-            scratch[:] = jnp.zeros((n_layers * nxb * hp, wb), jnp.float32)
+            # zero only live layers' strips: windows and the convert
+            # never touch a dead layer's strip, and dead layers (54% of
+            # (env, layer) frames on realistic workloads) skip the f32
+            # read + double cast entirely below
+            for l in range(n_layers):
+                @pl.when(count_ref[4 + l, i * group + g] > 0)
+                def _zero_strip(l=l):
+                    scratch[l * nxb * hp : (l + 1) * nxb * hp] = jnp.zeros(
+                        (nxb * hp, wb), jnp.float32
+                    )
 
             def load(s, g=g):
                 e = idx_ref[g, 0, s]
@@ -1020,16 +1029,27 @@ def _kernel_env_idx(
             _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran,
                         win, one_tier=one_tier)
             for l in range(n_layers):
-                # f32 -> int32 -> uint8 (direct f32->uint8 miscompiles)
-                if nxb == 1:
-                    frame = scratch[l * hp : l * hp + h]
-                else:
-                    strips = [
-                        scratch[(l * nxb + bl) * hp : (l * nxb + bl) * hp + h]
-                        for bl in range(nxb)
-                    ]
-                    frame = jnp.concatenate(strips, axis=1)[:, :w]
-                out_ref[g, l] = frame.astype(jnp.int32).astype(jnp.uint8)
+                liv = count_ref[4 + l, i * group + g] > 0
+
+                @pl.when(liv)
+                def _convert(l=l, g=g):
+                    # f32 -> int32 -> uint8 (direct cast miscompiles)
+                    if nxb == 1:
+                        frame = scratch[l * hp : l * hp + h]
+                    else:
+                        strips = [
+                            scratch[
+                                (l * nxb + bl) * hp
+                                : (l * nxb + bl) * hp + h
+                            ]
+                            for bl in range(nxb)
+                        ]
+                        frame = jnp.concatenate(strips, axis=1)[:, :w]
+                    out_ref[g, l] = frame.astype(jnp.int32).astype(jnp.uint8)
+
+                @pl.when(jnp.logical_not(liv))
+                def _zero(l=l, g=g):
+                    out_ref[g, l] = jnp.zeros((h, w), jnp.uint8)
 
 
 @functools.partial(
