@@ -106,7 +106,7 @@ def main():
                     g = int(mode[4:]) if len(mode) > 3 else 1
                     out = rp.rasterize_env_idx(
                         soa, nl, (H, W), THICK, gran=GRAN, split=True,
-                        group=g)
+                        group=g, one_tier=ONETIER)
             else:
                 soa = rp.compact_env_soa(
                     a, b, d, k, GRAN, H, THICK,
@@ -123,7 +123,7 @@ def main():
 
     # kernel-only / DMA-floor modes: soa precomputed once, scan runs only
     # the kernel (perturbing ax per iter so nothing is loop-invariant)
-    if any(m.startswith(("ko", "dma", "ovl")) for m in modes):
+    if any(m.startswith(("ko", "dma", "ovl", "dskip")) for m in modes):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -220,6 +220,91 @@ def main():
                             out_shape=jax.ShapeDtypeStruct(
                                 (N_ENVS, nl, H, W), jnp.uint8),
                         )(i.astype(jnp.uint8).reshape(1))
+                elif mode.startswith("dskip"):
+                    # Per-(env, layer) conditional-DMA floor probe: only
+                    # frames live in the REAL workload are staged and
+                    # DMA'd (the temporal-aliasing skip's steady state);
+                    # "dskipall" forces every frame live (pure per-frame
+                    # DMA issue-overhead ceiling vs the slab `dma` mode).
+                    nbuf = 3
+                    wp = 256
+                    livem = (
+                        np.ones((nl, N_ENVS), np.int32)
+                        if mode == "dskipall"
+                        else np.stack(
+                            [
+                                (drawnp & (laynp[None] == l)).any(1)
+                                for l in range(nl)
+                            ]
+                        ).astype(np.int32)
+                    )
+                    livej = jnp.asarray(livem)
+
+                    def dkernel(live_ref, i_ref, o_ref, st, sems):
+                        ii = jnp.asarray(pl.program_id(0), jnp.int32)
+                        buf = jax.lax.rem(ii, jnp.int32(nbuf))
+
+                        def cp(inst, q, l):
+                            return pltpu.make_async_copy(
+                                st.at[q, l],
+                                o_ref.at[inst, l],
+                                sems.at[q, l],
+                            )
+
+                        for l in range(nl):
+                            @pl.when((ii >= nbuf)
+                                     & (live_ref[l, ii - nbuf] > 0))
+                            def _reclaim(l=l):
+                                cp(ii - nbuf, buf, l).wait()
+
+                        for l in range(nl):
+                            @pl.when(live_ref[l, ii] > 0)
+                            def _emit(l=l):
+                                st[buf, l] = jnp.full(
+                                    (H, wp), i_ref[0], jnp.uint8
+                                )
+                                cp(ii, buf, l).start()
+
+                        for d in range(nbuf):
+                            for l in range(nl):
+                                @pl.when(
+                                    (ii == N_ENVS - 1) & (ii >= d)
+                                    & (live_ref[l, ii - d] > 0)
+                                )
+                                def _drain(d=d, l=l):
+                                    cp(
+                                        ii - d,
+                                        jax.lax.rem(
+                                            ii - d, jnp.int32(nbuf)
+                                        ),
+                                        l,
+                                    ).wait()
+
+                    out = pl.pallas_call(
+                        dkernel,
+                        grid_spec=pltpu.PrefetchScalarGridSpec(
+                            num_scalar_prefetch=1,
+                            grid=(N_ENVS,),
+                            in_specs=[
+                                pl.BlockSpec(memory_space=pltpu.SMEM)
+                            ],
+                            out_specs=pl.BlockSpec(
+                                memory_space=pltpu.ANY
+                            ),
+                            scratch_shapes=[
+                                pltpu.VMEM((nbuf, nl, H, wp), jnp.uint8),
+                                pltpu.SemaphoreType.DMA((nbuf, nl)),
+                            ],
+                        ),
+                        out_shape=jax.ShapeDtypeStruct(
+                            (N_ENVS, nl, H, wp), jnp.uint8
+                        ),
+                    )(livej, i.astype(jnp.uint8).reshape(1))
+                    # contiguous sample (a strided ::16 gather makes XLA
+                    # relayout-copy the whole 640 MB buffer -> OOM)
+                    return c + jnp.sum(
+                        out[:, :, 60:64, :].astype(jnp.uint32)
+                    ), None
                 elif mode.startswith("kodma"):
                     g, nb = (int(x) for x in (mode[5:] or "8.3").split("."))
                     idx0, ax0, *rest = soa
@@ -239,7 +324,7 @@ def main():
                 body, jnp.uint32(0),
                 jnp.arange(iters, dtype=jnp.float32))[0]
 
-        for mode in [m for m in modes if m.startswith(("ko", "dma", "ovl"))]:
+        for mode in [m for m in modes if m.startswith(("ko", "dma", "ovl", "dskip"))]:
             int(np.asarray(loop_ko(soa0, jnp.float32(0), mode, ITERS)))
             ts = []
             for rep in range(1, 6):
@@ -249,7 +334,7 @@ def main():
                 ts.append((time.perf_counter() - t0) / ITERS * 1e3)
             print(f"{mode}: med {sorted(ts)[2]:.2f} ms/iter  (all: "
                   + " ".join(f"{t:.2f}" for t in ts) + ")")
-        modes = [m for m in modes if not m.startswith(("ko", "dma", "ovl"))]
+        modes = [m for m in modes if not m.startswith(("ko", "dma", "ovl", "dskip"))]
 
     shifts = [jnp.asarray(p0np + 0.01 * s) for s in range(7)]
     for mode in modes:

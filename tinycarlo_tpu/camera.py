@@ -161,7 +161,7 @@ def _point_on_line_at_z(p_keep: jnp.ndarray, p_move: jnp.ndarray, target_z):
     return p_move + t[..., None] * direction
 
 
-def project_layers_batch(
+def project_layers_batch_soa(
     nodes: jnp.ndarray,  # (L, N, 2) shared map nodes
     edges: jnp.ndarray,  # (L, E, 2) int32
     edge_mask: jnp.ndarray,  # (L, E)
@@ -171,7 +171,8 @@ def project_layers_batch(
     max_range: Optional[float],
 ):
     """Batched-SoA equivalent of `project_layer`: all layers of all envs
-    at once, returning ((B, L, E, 2) p0/p1, (B, L, E) draw).
+    at once, returning ((B, L, E) u0, v0, u1, v1 pixel coords and a
+    (B, L, E) draw mask) -- every coordinate its own array.
 
     Same math as `project_layer` (see its docstring for the reference
     mapping), restructured for the TPU memory layout: instead of
@@ -180,7 +181,11 @@ def project_layers_batch(
     the segment axis on lanes. Edge endpoints are gathered from the node
     table once (shared across envs) and transformed by per-env pose rows
     broadcast from (B, 1, 1); z==0 for all world points, so the pose's
-    third column drops out entirely.
+    third column drops out entirely. The SoA return (rather than
+    stacking into (..., 2) point arrays whose minor dim defeats the
+    (8, 128) tiling) keeps the whole projection -> compaction pipeline
+    fusable; `project_layers_batch` stacks for callers that want the
+    point-array view.
     """
     h, w = resolution
     # (L, E) static endpoint gather, shared across the batch
@@ -261,6 +266,24 @@ def project_layers_batch(
     vis0 = in_frame(u0, v0) & front0 & in0
     vis1 = in_frame(u1, v1) & front1 & in1
     draw = edge_mask & (vis0 | vis1)
+    return u0, v0, u1, v1, draw
+
+
+def project_layers_batch(
+    nodes: jnp.ndarray,
+    edges: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    camera_pose: jnp.ndarray,
+    K: jnp.ndarray,
+    resolution: Tuple[int, int],
+    max_range: Optional[float],
+):
+    """`project_layers_batch_soa` with the endpoints stacked into
+    ((B, L, E, 2) p0/p1, (B, L, E) draw) point arrays for callers that
+    index points (overflow checks, the dense rasterizers)."""
+    u0, v0, u1, v1, draw = project_layers_batch_soa(
+        nodes, edges, edge_mask, camera_pose, K, resolution, max_range
+    )
     p0 = jnp.stack([u0, v0], axis=-1)
     p1 = jnp.stack([u1, v1], axis=-1)
     return p0, p1, draw

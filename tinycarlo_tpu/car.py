@@ -315,13 +315,34 @@ def car_info(map_data: MapData, cfg: CarConfig, state: CarState):
             geo.distance(state.position, p0)
             + geo.distance(state.position, p1)
         )
-        d = jnp.where(pm, d, jnp.asarray(geo._BIG, d.dtype))
         n_layers = map_data.n_layers
-        onehot_l = lay[None, :] == jnp.arange(n_layers, dtype=lay.dtype)[
-            :, None
-        ]
-        dl = jnp.where(onehot_l, d[None, :], jnp.asarray(geo._BIG, d.dtype))
-        ne_idx = jnp.argmin(dl, axis=1)  # (L,) packed-edge indices
+        bounds = map_data.packed_layer_bounds
+        if bounds and len(bounds) == n_layers + 1:
+            # Layer-contiguous packed axis with STATIC bounds: the
+            # per-layer argmin is a small reduction over a static slice
+            # (no (L, E) one-hot / masked broadcast). Selection stays
+            # identical: slices exclude exactly the other-layer and
+            # padded slots the mask sent to _BIG, and argmin keeps
+            # first-wins order within the layer.
+            ne_idx = jnp.stack(
+                [
+                    jnp.argmin(d[bounds[l]: bounds[l + 1]]) + bounds[l]
+                    if bounds[l + 1] > bounds[l]
+                    # edgeless layer: match the masked-argmin fallback
+                    # (all-_BIG row -> first index)
+                    else jnp.zeros((), jnp.int32)
+                    for l in range(n_layers)
+                ]
+            )
+        else:
+            d = jnp.where(pm, d, jnp.asarray(geo._BIG, d.dtype))
+            onehot_l = lay[None, :] == jnp.arange(
+                n_layers, dtype=lay.dtype
+            )[:, None]
+            dl = jnp.where(
+                onehot_l, d[None, :], jnp.asarray(geo._BIG, d.dtype)
+            )
+            ne_idx = jnp.argmin(dl, axis=1)  # (L,) packed-edge indices
 
         def edge_distance(ei):
             ne = pe[ei]

@@ -135,9 +135,9 @@ def render_observation(
     return _masks_to_obs(params, masks, (p0, p1, draw), fmt)
 
 
-def _project_packed_batch(params: EnvParams, states: EnvState):
+def _project_packed_batch_soa(params: EnvParams, states: EnvState):
     """Project the PACKED edge axis (all layers' real edges concatenated)
-    for a batch of states: (B, Ep, 2) x2 endpoints + (B, Ep) draw mask.
+    for a batch of states: (B, Ep) u0/v0/u1/v1 coords + (B, Ep) draw.
     Projection and compaction scan sum(E_l) slots instead of
     L * max(E_l) -- ~3x fewer on reference maps, whose per-layer edge
     counts are skewed."""
@@ -147,7 +147,7 @@ def _project_packed_batch(params: EnvParams, states: EnvState):
         states.car.position, states.car.rotation
     )
     pose = jnp.einsum("ij,bjk->bik", params.camera.E, body)  # (B, 3, 4)
-    p0, p1, draw = cam.project_layers_batch(
+    u0, v0, u1, v1, draw = cam.project_layers_batch_soa(
         md.packed_nodes,
         md.packed_edges,
         md.packed_edge_mask,
@@ -155,8 +155,19 @@ def _project_packed_batch(params: EnvParams, states: EnvState):
         params.camera.K,
         cfg.camera.resolution,
         cfg.camera.max_range,
-    )  # (B, 1, Ep, 2) x2, (B, 1, Ep)
-    return p0[:, 0], p1[:, 0], draw[:, 0]
+    )  # (B, 1, Ep) each
+    return u0[:, 0], v0[:, 0], u1[:, 0], v1[:, 0], draw[:, 0]
+
+
+def _project_packed_batch(params: EnvParams, states: EnvState):
+    """Stacked-point view of `_project_packed_batch_soa`:
+    (B, Ep, 2) x2 endpoints + (B, Ep) draw mask."""
+    u0, v0, u1, v1, draw = _project_packed_batch_soa(params, states)
+    return (
+        jnp.stack([u0, v0], axis=-1),
+        jnp.stack([u1, v1], axis=-1),
+        draw,
+    )
 
 
 def check_segment_overflow(params: EnvParams, states: EnvState) -> jnp.ndarray:
@@ -193,17 +204,20 @@ def render_observation_batch(
     cfg = params.cfg
     fmt = fmt or cfg.sim.observation_space_format
     md = params.map_data
-    p0, p1, draw = _project_packed_batch(params, states)
-    masks = ras.rasterize_masks_packed_auto(
-        p0, p1, draw, md.packed_edge_layer, md.n_layers,
+    u0, v0, u1, v1, draw = _project_packed_batch_soa(params, states)
+    masks = ras.rasterize_masks_packed_auto_soa(
+        u0, v0, u1, v1, draw, md.packed_edge_layer, md.n_layers,
         cfg.camera.resolution, cfg.camera.line_thickness,
         max_visible=cfg.camera.max_visible_segments,
+        layer_bounds=md.packed_layer_bounds or None,
     )
     if fmt == "classes":
         return masks
+    # rgb: composite the class masks by layer color (rasterize_rgb with
+    # masks given never touches the endpoint arrays)
     return jax.vmap(
-        lambda m, a, b, d: _masks_to_obs(params, m, (a, b, d), fmt)
-    )(masks, p0, p1, draw)
+        lambda m: _masks_to_obs(params, m, (None, None, None), fmt)
+    )(masks)
 
 
 def _info(params: EnvParams, state: EnvState) -> Dict[str, jnp.ndarray]:

@@ -99,6 +99,14 @@ class MapData:
     packed_edges: jnp.ndarray = None  # (1, Ep, 2) int32 into packed nodes
     packed_edge_mask: jnp.ndarray = None  # (1, Ep) bool
     packed_edge_layer: jnp.ndarray = None  # (Ep,) int32 layer id per edge
+    # Static cumulative per-layer edge offsets into the packed axis
+    # (len L + 1; layer l's real edges live at [bounds[l], bounds[l+1])).
+    # Being compile-time constants, per-layer reductions over the packed
+    # axis can use static slices instead of materializing (B, L, Ep)
+    # one-hot masks (see compact_env_idx_soa counts, car_info).
+    packed_layer_bounds: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=()
+    )
     laneline_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
     pixel_per_meter: int = struct.field(pytree_node=False, default=1)
 
@@ -292,6 +300,9 @@ def compile_map_data(
         packed_edges=packed_edges[None],
         packed_edge_mask=packed_edge_mask[None],
         packed_edge_layer=packed_edge_layer,
+        packed_layer_bounds=tuple(
+            np.cumsum([0] + [l.n_edges for l in layer_arrays]).tolist()
+        ),
         laneline_colors=colors,
         lanepath=lanepath,
         spawns=spawns,

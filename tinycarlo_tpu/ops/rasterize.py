@@ -199,6 +199,7 @@ def rasterize_masks_packed_auto(
     resolution: Tuple[int, int],
     thickness: int = 1,
     max_visible: int = None,
+    layer_bounds: Tuple[int, ...] = None,
 ) -> jnp.ndarray:
     """Packed-edge-axis variant of `rasterize_masks_auto` (see
     map_compiler packed_* arrays): (..., n_layers, H, W) masks. On TPU
@@ -212,7 +213,7 @@ def rasterize_masks_packed_auto(
 
         return rasterize_masks_packed_pallas(
             p0, p1, draw, edge_layer, n_layers, resolution, thickness,
-            max_visible=max_visible,
+            max_visible=max_visible, layer_bounds=layer_bounds,
         )
     e = edge_layer.shape[0]
     lay = edge_layer[None, :] == jax.lax.broadcasted_iota(
@@ -223,6 +224,40 @@ def rasterize_masks_packed_auto(
     p1_l = jnp.broadcast_to(p1[..., None, :, :], draw_l.shape + (2,))
     return rasterize_masks_auto(
         p0_l, p1_l, draw_l, resolution, thickness, max_visible=max_visible
+    )
+
+
+def rasterize_masks_packed_auto_soa(
+    u0: jnp.ndarray,  # (..., E) packed edge axis, SoA pixel coords
+    v0: jnp.ndarray,
+    u1: jnp.ndarray,
+    v1: jnp.ndarray,
+    draw: jnp.ndarray,  # (..., E)
+    edge_layer: jnp.ndarray,  # (E,) int32
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    max_visible: int = None,
+    layer_bounds: Tuple[int, ...] = None,
+) -> jnp.ndarray:
+    """`rasterize_masks_packed_auto` taking the projection's unstacked
+    coordinate arrays: on TPU the SoA flows straight into compaction
+    (no (..., E, 2) stack whose minor-2 layout costs relayout copies);
+    elsewhere the coordinates are stacked for the dense fallback."""
+    if jax.default_backend() == "tpu":
+        from tinycarlo_tpu.ops.rasterize_pallas import (
+            rasterize_masks_packed_pallas_soa,
+        )
+
+        return rasterize_masks_packed_pallas_soa(
+            u0, v0, u1, v1, draw, edge_layer, n_layers, resolution,
+            thickness, max_visible=max_visible, layer_bounds=layer_bounds,
+        )
+    p0 = jnp.stack([u0, v0], axis=-1)
+    p1 = jnp.stack([u1, v1], axis=-1)
+    return rasterize_masks_packed_auto(
+        p0, p1, draw, edge_layer, n_layers, resolution, thickness,
+        max_visible=max_visible, layer_bounds=layer_bounds,
     )
 
 

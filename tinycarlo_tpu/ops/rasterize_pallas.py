@@ -716,6 +716,32 @@ def compact_env_idx(
     n_layers: Optional[int] = None,
     w: Optional[int] = None,
     one_tier: bool = False,
+    layer_bounds: Optional[Tuple[int, ...]] = None,
+):
+    """Point-array entry: slices the stacked endpoints and delegates to
+    `compact_env_idx_soa` (see there for semantics)."""
+    return compact_env_idx_soa(
+        p0[..., 0], p0[..., 1], p1[..., 0], p1[..., 1], draw,
+        k, gran, h, thickness, edge_layer=edge_layer, n_layers=n_layers,
+        w=w, one_tier=one_tier, layer_bounds=layer_bounds,
+    )
+
+
+def compact_env_idx_soa(
+    u0: jnp.ndarray,  # (B, L, E) float pixel coords, SoA
+    v0: jnp.ndarray,
+    u1: jnp.ndarray,
+    v1: jnp.ndarray,
+    draw: jnp.ndarray,  # (B, L, E) bool
+    k: int,
+    gran: int,
+    h: int,
+    thickness: int,
+    edge_layer: Optional[jnp.ndarray] = None,
+    n_layers: Optional[int] = None,
+    w: Optional[int] = None,
+    one_tier: bool = False,
+    layer_bounds: Optional[Tuple[int, ...]] = None,
 ):
     """Index-indirection variant of `compact_env_soa`: no routing matmul.
 
@@ -739,10 +765,22 @@ def compact_env_idx(
     no eligible segments. The band word stores the UNCLAMPED start band
     (the one-band tier needs it exact); 16-row tiers clamp it in-kernel.
     Same eligibility / budget semantics as `compact_env_soa`.
+
+    `layer_bounds` (static cumulative per-layer edge offsets into the
+    E axis, len n_layers + 1) lets the per-layer counts reduce over
+    static slices of the copy axis instead of materializing a
+    (B, L, LE) one-hot; it requires the edge axis to be
+    layer-contiguous in that order (true for the packed axis --
+    map_compiler.packed_layer_bounds -- and trivially for the padded
+    per-layer axis, where it is multiples of E).
     """
-    a, b = _int_endpoints(p0, p1, jnp.float32)
-    bsz, nl, e, _ = a.shape
-    ax0, ay0, bx0, by0 = a[..., 0], a[..., 1], b[..., 0], b[..., 1]
+    lim = jnp.float32(1_000_000.0)  # _int_endpoints, per coordinate
+
+    def icast(x):
+        return jnp.clip(x, -lim, lim).astype(jnp.int32).astype(jnp.float32)
+
+    ax0, ay0, bx0, by0 = icast(u0), icast(v0), icast(u1), icast(v1)
+    bsz, nl, e = ax0.shape
 
     rf = float(_stroke_radius_sq(thickness)) ** 0.5
     n_bands, hp, win = _window_rows(gran, h)
@@ -842,14 +880,34 @@ def compact_env_idx(
     # over-run into the pad (or the next tier) is harmless.
     idx = jnp.concatenate([idx] + [idx[:, -1:]] * 7, axis=-1)
     n_out_layers = nl if edge_layer is None else n_layers
-    lay_flat = flat(jnp.broadcast_to(
-        lay[..., None] if nxb > 1 else lay, nb.shape))
-    onehot_l = lay_flat[:, None, :] == jax.lax.broadcasted_iota(
-        jnp.int32, (bsz, n_out_layers, le), 1
-    )
-    per_layer = jnp.sum(
-        draw2[:, None, :] & onehot_l, axis=-1, dtype=jnp.int32
-    )  # (B, n_layers) eligible copies per layer
+    if edge_layer is None:
+        # padded per-layer axis: layer l occupies flat [l*e*nxb, ...)
+        bounds = tuple(range(0, (nl + 1) * e, e))
+    else:
+        bounds = layer_bounds
+    if bounds is not None and len(bounds) == n_out_layers + 1:
+        # layer-contiguous copy axis: per-layer counts are reductions
+        # over STATIC slices -- no (B, L, LE) one-hot materialization
+        per_layer = jnp.stack(
+            [
+                jnp.sum(
+                    draw2[:, bounds[l] * nxb : bounds[l + 1] * nxb],
+                    axis=-1,
+                    dtype=jnp.int32,
+                )
+                for l in range(n_out_layers)
+            ],
+            axis=-1,
+        )  # (B, n_layers) eligible copies per layer
+    else:
+        lay_flat = flat(jnp.broadcast_to(
+            lay[..., None] if nxb > 1 else lay, nb.shape))
+        onehot_l = lay_flat[:, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (bsz, n_out_layers, le), 1
+        )
+        per_layer = jnp.sum(
+            draw2[:, None, :] & onehot_l, axis=-1, dtype=jnp.int32
+        )  # (B, n_layers) eligible copies per layer
     counts = jnp.concatenate(
         [jnp.stack([n_all, n_one, n_short, n_drop]), per_layer.T], axis=0
     )
@@ -1389,14 +1447,42 @@ def rasterize_masks_packed_pallas(
     thickness: int = 1,
     max_visible: Optional[int] = None,
     interpret: bool = False,
+    layer_bounds: Optional[Tuple[int, ...]] = None,
 ) -> jnp.ndarray:
     """(..., n_layers, H, W) uint8 masks from a PACKED edge axis (all
     layers' real edges concatenated; see map_compiler packed_* arrays).
     Same output as `rasterize_masks_pallas` on the equivalent padded
     per-layer arrays, but projection-side padding is never scanned.
     """
-    lead = p0.shape[:-2]
-    e = p0.shape[-2]
+    return rasterize_masks_packed_pallas_soa(
+        p0[..., 0], p0[..., 1], p1[..., 0], p1[..., 1], draw,
+        edge_layer, n_layers, resolution, thickness,
+        max_visible=max_visible, interpret=interpret,
+        layer_bounds=layer_bounds,
+    )
+
+
+def rasterize_masks_packed_pallas_soa(
+    u0: jnp.ndarray,  # (..., E) packed edge axis, SoA pixel coords
+    v0: jnp.ndarray,
+    u1: jnp.ndarray,
+    v1: jnp.ndarray,
+    draw: jnp.ndarray,  # (..., E)
+    edge_layer: jnp.ndarray,  # (E,) int32 layer id per packed edge
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    max_visible: Optional[int] = None,
+    interpret: bool = False,
+    layer_bounds: Optional[Tuple[int, ...]] = None,
+) -> jnp.ndarray:
+    """SoA-coordinate variant of `rasterize_masks_packed_pallas`: takes
+    the projection's unstacked (..., E) coordinate arrays so the whole
+    projection -> compaction chain stays fusable (the stacked (..., E, 2)
+    point arrays put a 2-extent on the minor/lane axis, which costs XLA
+    relayout copies between projection and compaction)."""
+    lead = draw.shape[:-1]
+    e = draw.shape[-1]
     h, w = resolution
     nxb = _n_xblocks(w)
     # A segment takes one slot copy per touched 128-lane block, so the
@@ -1405,15 +1491,15 @@ def rasterize_masks_packed_pallas(
     # block); narrower segments let more than max_visible fit.
     k = e * nxb if max_visible is None else min(max_visible * nxb, e * nxb)
     gran = 16
-    p0 = p0.reshape(-1, 1, e, 2)
-    p1 = p1.reshape(-1, 1, e, 2)
+    u0, v0, u1, v1 = (x.reshape(-1, 1, e) for x in (u0, v0, u1, v1))
     draw = draw.reshape(-1, 1, e)
     # Index-indirection compaction (no one-hot routing matmul): measured
     # 3.0 -> 1.7 ms compaction / 9.5 -> 8.9 ms fused at the 4096-env
     # reference workload vs compact_env_soa (docs/KERNELS.md round-2).
-    soa = compact_env_idx(
-        p0, p1, draw, k, gran, h, thickness,
+    soa = compact_env_idx_soa(
+        u0, v0, u1, v1, draw, k, gran, h, thickness,
         edge_layer=edge_layer, n_layers=n_layers, w=w,
+        layer_bounds=layer_bounds,
     )
     masks = rasterize_env_idx(
         soa, n_layers, tuple(resolution), thickness, gran=gran,
