@@ -169,20 +169,25 @@ def main():
                     )(i.astype(jnp.float32).reshape(1))
                 elif mode.startswith("dma"):
                     suffix = mode[3:]
-                    if suffix == "flat":
+                    if suffix.startswith("flat"):
                         # lane-aligned contiguous layout: is the 3 ms
                         # floor the 160-lane masked-store/padded-DMA tax?
+                        # optional group suffix (flat16) amortizes
+                        # per-instance mechanics to separate them from
+                        # store/DMA byte costs
+                        g = int(suffix[4:]) if suffix[4:] else 1
                         rows = nl * H * W // 128
 
                         def zkernel(i_ref, o_ref):
-                            o_ref[0] = jnp.full((rows, 128), i_ref[0])
+                            for gg in range(g):
+                                o_ref[gg] = jnp.full((rows, 128), i_ref[0])
 
                         out = pl.pallas_call(
                             zkernel,
-                            grid=(N_ENVS,),
+                            grid=(N_ENVS // g,),
                             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
                             out_specs=pl.BlockSpec(
-                                (1, rows, 128), lambda ii: (ii, 0, 0)),
+                                (g, rows, 128), lambda ii: (ii, 0, 0)),
                             out_shape=jax.ShapeDtypeStruct(
                                 (N_ENVS, rows, 128), jnp.uint8),
                         )(i.astype(jnp.uint8).reshape(1))
@@ -226,6 +231,8 @@ def main():
                     # DMA'd (the temporal-aliasing skip's steady state);
                     # "dskipall" forces every frame live (pure per-frame
                     # DMA issue-overhead ceiling vs the slab `dma` mode).
+                    # Frame addressing is flattened to one leading dim
+                    # (multi-index memref slices fault the DMA engine).
                     nbuf = 3
                     wp = 256
                     livem = (
@@ -246,9 +253,9 @@ def main():
 
                         def cp(inst, q, l):
                             return pltpu.make_async_copy(
-                                st.at[q, l],
-                                o_ref.at[inst, l],
-                                sems.at[q, l],
+                                st.at[q * nl + l],
+                                o_ref.at[inst * nl + l],
+                                sems.at[q * nl + l],
                             )
 
                         for l in range(nl):
@@ -260,7 +267,7 @@ def main():
                         for l in range(nl):
                             @pl.when(live_ref[l, ii] > 0)
                             def _emit(l=l):
-                                st[buf, l] = jnp.full(
+                                st[buf * nl + l] = jnp.full(
                                     (H, wp), i_ref[0], jnp.uint8
                                 )
                                 cp(ii, buf, l).start()
@@ -292,18 +299,20 @@ def main():
                                 memory_space=pltpu.ANY
                             ),
                             scratch_shapes=[
-                                pltpu.VMEM((nbuf, nl, H, wp), jnp.uint8),
-                                pltpu.SemaphoreType.DMA((nbuf, nl)),
+                                pltpu.VMEM(
+                                    (nbuf * nl, H, wp), jnp.uint8
+                                ),
+                                pltpu.SemaphoreType.DMA((nbuf * nl,)),
                             ],
                         ),
                         out_shape=jax.ShapeDtypeStruct(
-                            (N_ENVS, nl, H, wp), jnp.uint8
+                            (N_ENVS * nl, H, wp), jnp.uint8
                         ),
                     )(livej, i.astype(jnp.uint8).reshape(1))
                     # contiguous sample (a strided ::16 gather makes XLA
                     # relayout-copy the whole 640 MB buffer -> OOM)
                     return c + jnp.sum(
-                        out[:, :, 60:64, :].astype(jnp.uint32)
+                        out[:, 60:64, :].astype(jnp.uint32)
                     ), None
                 elif mode.startswith("kodma"):
                     g, nb = (int(x) for x in (mode[5:] or "8.3").split("."))
