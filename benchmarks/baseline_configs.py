@@ -107,7 +107,11 @@ def config3():
     def body(carry, i):
         vstate, checksum = carry
         obs = fenv.render_observation_batch(params, vstate.env)
-        checksum = checksum + jnp.sum(obs, dtype=jnp.uint32)
+        # contiguous sample keeps the rasterizer live without re-reading
+        # the 786 MB obs (bench.py rationale; strided sampling is a
+        # relayout-copy trap)
+        checksum = checksum + jnp.sum(obs[:, :, 238:242, :],
+                                      dtype=jnp.uint32)
         # maneuver switching: cycle straight/right/left per scan step and
         # env (u-turn entry exercised via the per-step remap)
         man = jnp.mod(

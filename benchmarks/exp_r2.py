@@ -90,7 +90,18 @@ def main():
         def body(c, i):
             a, b = (p0 + i * 0.001)[:, None], (p1 + i * 0.001)[:, None]
             d = draw[:, None]
-            if mode.startswith("idx"):
+            if mode.startswith("seg"):
+                # segment-axis compaction + in-kernel block expansion
+                soa = rp.compact_env_seg(
+                    a[..., 0], a[..., 1], b[..., 0], b[..., 1], d,
+                    min(MAXVIS, e), GRAN, H, THICK,
+                    edge_layer=lay, n_layers=nl, w=W)
+                if mode == "segc":
+                    s = sum(jnp.sum(x.astype(jnp.float32)) for x in soa)
+                    return c + s.astype(jnp.uint32), None
+                out = rp.rasterize_env_seg(
+                    soa, nl, (H, W), THICK, gran=GRAN, split=True)
+            elif mode.startswith("idx"):
                 soa = rp.compact_env_idx(
                     a, b, d, k, GRAN, H, THICK,
                     edge_layer=lay, n_layers=nl, w=W, one_tier=ONETIER)

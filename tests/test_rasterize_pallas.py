@@ -442,3 +442,40 @@ def test_env_dma_kernel_matches_reference(group, nbuf):
             got[i], exp, p0[i], p1[i], draw[i], 2
         )
     np.testing.assert_array_equal(np.asarray(got[2]), 0)
+
+
+def test_segment_axis_alternate_matches_production():
+    """compact_env_seg + rasterize_env_seg (the measured-slower
+    segment-axis alternate, kept for A/B -- docs/KERNELS.md round-3)
+    must stay bit-equal to the production copy-axis path, including
+    across the lane split and tall segments."""
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        compact_env_seg, rasterize_env_seg,
+    )
+
+    rng = np.random.default_rng(77)
+    B, L, E, H, W = 3, 2, 24, 64, 200  # nxb = 2
+    p0 = jnp.asarray(
+        np.stack(
+            [rng.uniform(-20, W + 20, (B, L, E)),
+             rng.uniform(-20, H + 20, (B, L, E))], -1
+        ),
+        jnp.float32,
+    )
+    # mix of short, block-crossing, and tall segments
+    d = np.stack(
+        [rng.uniform(-150, 150, (B, L, E)),
+         rng.uniform(-40, 40, (B, L, E))], -1
+    )
+    p1 = jnp.asarray(np.asarray(p0) + d, jnp.float32)
+    draw = jnp.asarray(rng.random((B, L, E)) < 0.8)
+    expected = rasterize_masks_pallas(
+        p0, p1, draw, (H, W), 2, interpret=True
+    )
+    soa = compact_env_seg(
+        p0[..., 0], p0[..., 1], p1[..., 0], p1[..., 1], draw,
+        L * E, 16, H, 2, w=W,
+    )
+    got = rasterize_env_seg(soa, L, (H, W), 2, gran=16, split=True,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))

@@ -914,6 +914,380 @@ def compact_env_idx_soa(
     return idx, ax0, ay0, abx, aby, inv, bw, counts
 
 
+def compact_env_seg(
+    u0: jnp.ndarray,  # (B, L, E) float pixel coords, SoA
+    v0: jnp.ndarray,
+    u1: jnp.ndarray,
+    v1: jnp.ndarray,
+    draw: jnp.ndarray,  # (B, L, E) bool
+    k: int,
+    gran: int,
+    h: int,
+    thickness: int,
+    edge_layer: Optional[jnp.ndarray] = None,
+    n_layers: Optional[int] = None,
+    w: Optional[int] = None,
+    layer_bounds: Optional[Tuple[int, ...]] = None,
+):
+    """SEGMENT-axis compaction: one slot per segment, not per lane-block
+    copy (compare `compact_env_idx_soa`, whose copy axis is nxb x
+    larger). Kept as a measured-SLOWER alternate: fused with
+    `rasterize_env_seg` it ran 13.1 vs 9.2 ms at the 4096-env reference
+    workload (same tenancy window) -- the per-slot `pl.when` block
+    branches in the kernel cost more than the halved sort axis saves;
+    the production path stays on the XLA-side copy expansion
+    (docs/KERNELS.md round-3). The x-block split rides as an nxb-bit
+    touch mask packed into the band word's low bits and is expanded
+    in-kernel, so:
+
+    - the top_k sort axis and every dense (B, LE) intermediate shrink
+      by ceil(w/128)x (640-wide frames: 5x),
+    - `max_visible` budgets exactly SEGMENTS per env (the user-facing
+      semantics), with no slot-copy scaling,
+    - segments with no touched block (fully x-clipped) are culled like
+      y-clipped ones (nb forced to 0 -- a strictly better use of budget
+      than compact_env_idx, which only y-culls).
+
+    Word layout: bw = ((lay*nxb*nb_bands + b0c) * _NB_PACK + nb) <<
+    nxb | touch_bits, all int32. The kernel recovers the per-block
+    window start as (enc + xb*n_bands)*gran and shifts ax by xb*128 /
+    ay by xb*hp per set bit. ay is pre-folded with the layer's strip
+    base (lay*nxb*hp); the xb*hp term is added in-kernel.
+
+    Returns the same bundle shape as `compact_env_idx_soa`
+    (counts row 1, the one-band tier, is always 0 here).
+    """
+    lim = jnp.float32(1_000_000.0)  # _int_endpoints, per coordinate
+
+    def icast(x):
+        return jnp.clip(x, -lim, lim).astype(jnp.int32).astype(jnp.float32)
+
+    ax0, ay0, bx0, by0 = icast(u0), icast(v0), icast(u1), icast(v1)
+    bsz, nl, e = ax0.shape
+
+    rf = float(_stroke_radius_sq(thickness)) ** 0.5
+    n_bands, hp, win = _window_rows(gran, h)
+    n_frames = nl if edge_layer is None else n_layers
+    nxb = _n_xblocks(w) if w is not None else 1
+    assert n_bands < _NB_PACK, "frame too tall for the packed band word"
+    assert (n_frames * nxb * n_bands * _NB_PACK) << nxb < 2**31, (
+        "band word with block bits exceeds int32"
+    )
+    ylo = jnp.minimum(ay0, by0) - rf
+    yhi = jnp.maximum(ay0, by0) + rf
+    b0 = jnp.clip(jnp.floor(ylo / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
+    b1 = jnp.clip(jnp.floor(yhi / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
+    valid = (yhi >= 0.0) & (ylo <= h - 1.0) & draw
+    nb = jnp.where(valid, b1 + 1 - b0, 0)
+    b0c = jnp.minimum(b0, (hp - win) // gran)
+    if edge_layer is None:
+        lay = jax.lax.broadcasted_iota(jnp.int32, draw.shape, 1)
+    else:
+        lay = jnp.broadcast_to(edge_layer[None, None, :], draw.shape)
+
+    xlo = jnp.minimum(ax0, bx0) - rf
+    xhi = jnp.maximum(ax0, bx0) + rf
+    if nxb > 1:
+        bits = sum(
+            ((xlo <= j * _XB + (_XB - 1)) & (xhi >= j * _XB)).astype(
+                jnp.int32
+            )
+            << j
+            for j in range(nxb)
+        )
+    else:
+        bits = ((xhi >= 0.0) & (xlo <= (w if w else _XB) - 1.0)).astype(
+            jnp.int32
+        )
+    nb = jnp.where(bits > 0, nb, 0)  # fully x-clipped: cull like y-clip
+
+    abx, aby = bx0 - ax0, by0 - ay0
+    denom = abx * abx + aby * aby
+    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+    # layer strip base rides in ay (the xb*hp part is added in-kernel);
+    # aby was computed from the raw coords so the fold cancels nowhere
+    ay0 = ay0 + (lay * (nxb * hp)).astype(jnp.float32)
+
+    enc = lay * (nxb * n_bands) + b0c
+    bw = (((enc * _NB_PACK) + nb) << nxb) | bits
+
+    le = nl * e
+    flat = lambda x: x.reshape(bsz, le)
+    ax0, ay0, abx, aby, inv, bw = map(flat, (ax0, ay0, abx, aby, inv, bw))
+    draw2 = flat(nb > 0)
+    tall = flat(nb > win // gran)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bsz, le), 1)
+    key = jnp.where(
+        draw2, jnp.where(tall, le - iota, 2 * le - iota), -iota
+    )
+    n_elig = jnp.sum(draw2, axis=-1).astype(jnp.int32)
+    n_all = jnp.minimum(n_elig, k)
+    n_short = jnp.minimum(
+        jnp.sum(draw2 & ~tall, axis=-1), k
+    ).astype(jnp.int32)
+    n_drop = n_elig - n_all
+
+    if k < le:
+        _, idx = jax.lax.top_k(key, k)  # (B, k)
+    else:
+        idx = jnp.argsort(-key, axis=-1).astype(jnp.int32)
+    idx = jnp.concatenate([idx] + [idx[:, -1:]] * 7, axis=-1)
+    n_out_layers = nl if edge_layer is None else n_layers
+    if edge_layer is None:
+        bounds = tuple(range(0, (nl + 1) * e, e))
+    else:
+        bounds = layer_bounds
+    draw2i = draw2.astype(jnp.int32)
+    if bounds is not None and len(bounds) == n_out_layers + 1:
+        per_layer = jnp.stack(
+            [
+                jnp.sum(
+                    draw2i[:, bounds[l]: bounds[l + 1]],
+                    axis=-1,
+                    dtype=jnp.int32,
+                )
+                for l in range(n_out_layers)
+            ],
+            axis=-1,
+        )
+    else:
+        lay_flat = flat(lay)
+        onehot_l = lay_flat[:, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (bsz, n_out_layers, le), 1
+        )
+        per_layer = jnp.sum(
+            draw2[:, None, :] & onehot_l, axis=-1, dtype=jnp.int32
+        )
+    zero = jnp.zeros_like(n_all)
+    counts = jnp.concatenate(
+        [jnp.stack([n_all, zero, n_short, n_drop]), per_layer.T], axis=0
+    )
+    return idx, ax0, ay0, abx, aby, inv, bw, counts
+
+
+def _tier_loops_seg(load, scratch, n, n_short, wb, r2, gran, win,
+                    nxb, n_bands, hp):
+    """Two-tier slot loops for the SEGMENT-axis bundle: per slot the
+    packed word carries an nxb-bit block-touch mask; each set bit stamps
+    one window in that block's strip (`pl.when`-guarded, so a segment
+    spanning one block pays one window). Shorts are 8-way unrolled;
+    talls get the dynamic per-band tail per touched block.
+    """
+    xs8 = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 1).astype(jnp.float32)
+    ys8 = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 0).astype(jnp.float32)
+    xs16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 1).astype(jnp.float32)
+    ys16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 0).astype(jnp.float32)
+
+    def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live):
+        ay = ay - y0.astype(jnp.float32)
+        r2eff = jnp.where(live, r2, -1.0)
+        apx = xs - ax
+        apy = ys - ay
+        t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
+        dx = apx - t * abx
+        dy = apy - t * aby
+        hit = (dx * dx + dy * dy) <= r2eff
+        pltpu.store(
+            scratch.at[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])],
+            jnp.full((rows, scratch.shape[-1]), 255.0, jnp.float32),
+            mask=hit,
+        )
+
+    def win16(s):
+        ax, ay, abx, aby, inv, bw2 = load(s)
+        bits = jax.lax.rem(bw2, jnp.int32(1 << nxb))
+        bw = bw2 // (1 << nxb)
+        enc = bw // _NB_PACK
+        nb = bw - enc * _NB_PACK
+        for xb in range(nxb):
+            @pl.when(jax.lax.rem(bits // (1 << xb), jnp.int32(2)) == 1)
+            def _blk(xb=xb):
+                stamp(
+                    xs16, ys16, win, (enc + xb * n_bands) * gran,
+                    ax - xb * _XB, ay + xb * hp, abx, aby, inv, nb > 0,
+                )
+        return ax, ay, abx, aby, inv, enc, nb, bits
+
+    import os as _os
+    unroll = int(_os.environ.get("TINYCARLO_UNROLL", 8))
+
+    def pack(p, _):
+        for u in range(unroll):
+            win16(unroll * p + u)
+        return 0
+
+    jax.lax.fori_loop(0, (n_short + unroll - 1) // unroll, pack, 0)
+
+    def tall_one(s, _):
+        ax, ay, abx, aby, inv, enc, nb, bits = win16(s)
+        for xb in range(nxb):
+            @pl.when(jax.lax.rem(bits // (1 << xb), jnp.int32(2)) == 1)
+            def _tail_blk(xb=xb):
+                def tail(bi, _):
+                    stamp(
+                        xs8, ys8, gran,
+                        (enc + xb * n_bands + bi) * gran,
+                        ax - xb * _XB, ay + xb * hp, abx, aby, inv,
+                        nb > 0,
+                    )
+                    return 0
+
+                jax.lax.fori_loop(win // gran, nb, tail, 0)
+
+        return 0
+
+    jax.lax.fori_loop(n_short, n, tall_one, 0)
+
+
+def _kernel_env_seg(
+    count_ref,
+    idx_ref,
+    ax_ref,
+    ay_ref,
+    abx_ref,
+    aby_ref,
+    inv_ref,
+    bw_ref,
+    out_ref,
+    scratch,
+    *,
+    n_layers,
+    h,
+    hp,
+    w,
+    r2,
+    gran,
+    win,
+    nxb,
+    n_bands,
+):
+    """Env-merged kernel over the SEGMENT-axis bundle (`compact_env_seg`):
+    same index-indirection SMEM double-read as `_kernel_env_idx`, but
+    each slot is a segment whose packed block-touch bits select which
+    lane-block strips its window stamps."""
+    wb = _XB if nxb > 1 else w
+    i = pl.program_id(0)
+
+    n = count_ref[0, i]
+    n_short = count_ref[2, i]
+
+    @pl.when(n == 0)
+    def _empty():
+        for l in range(n_layers):
+            out_ref[0, l] = jnp.zeros((h, w), jnp.uint8)
+
+    @pl.when(n > 0)
+    def _live():
+        for l in range(n_layers):
+            @pl.when(count_ref[4 + l, i] > 0)
+            def _zero_strip(l=l):
+                scratch[l * nxb * hp : (l + 1) * nxb * hp] = jnp.zeros(
+                    (nxb * hp, wb), jnp.float32
+                )
+
+        def load(s):
+            e = idx_ref[0, 0, s]
+            return (
+                ax_ref[0, 0, e],
+                ay_ref[0, 0, e],
+                abx_ref[0, 0, e],
+                aby_ref[0, 0, e],
+                inv_ref[0, 0, e],
+                bw_ref[0, 0, e],
+            )
+
+        _tier_loops_seg(load, scratch, n, n_short, wb, r2, gran, win,
+                        nxb, n_bands, hp)
+        for l in range(n_layers):
+            liv = count_ref[4 + l, i] > 0
+
+            @pl.when(liv)
+            def _convert(l=l):
+                if nxb == 1:
+                    frame = scratch[l * hp : l * hp + h]
+                else:
+                    strips = [
+                        scratch[
+                            (l * nxb + bl) * hp
+                            : (l * nxb + bl) * hp + h
+                        ]
+                        for bl in range(nxb)
+                    ]
+                    frame = jnp.concatenate(strips, axis=1)[:, :w]
+                out_ref[0, l] = frame.astype(jnp.int32).astype(jnp.uint8)
+
+            @pl.when(jnp.logical_not(liv))
+            def _zero(l=l):
+                out_ref[0, l] = jnp.zeros((h, w), jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_layers", "resolution", "thickness", "gran", "split",
+        "interpret",
+    ),
+)
+def rasterize_env_seg(
+    soa,  # from compact_env_seg, leading dim (B,)
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    gran: int = 16,
+    split: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, L, H, W) uint8 masks from a `compact_env_seg` bundle. The
+    production packed path: segment-axis slots, in-kernel lane-block
+    expansion. `gran`/`split` must match `compact_env_seg`'s args."""
+    idx, ax, ay, abx, aby, inv, bw, counts = soa
+    h, w = resolution
+    bsz, le = ax.shape
+    kp = idx.shape[-1]
+    n_bands, hp, win = _window_rows(gran, h)
+    nxb = _n_xblocks(w) if split else 1
+    r2 = float(_stroke_radius_sq(thickness))
+    kernel = functools.partial(
+        _kernel_env_seg,
+        n_layers=n_layers,
+        h=h,
+        hp=hp,
+        w=w,
+        r2=r2,
+        gran=gran,
+        win=win,
+        nxb=nxb,
+        n_bands=n_bands,
+    )
+    smem_idx = pl.BlockSpec(
+        (1, 1, kp), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    smem_soa = pl.BlockSpec(
+        (1, 1, le), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    wb = _XB if nxb > 1 else w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz,),
+        in_specs=[smem_idx] + [smem_soa] * 6,
+        out_specs=pl.BlockSpec(
+            (1, n_layers, h, w), lambda i, c: (i, 0, 0, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((n_layers * nxb * hp, wb), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_layers, h, w), jnp.uint8),
+        interpret=interpret,
+    )(
+        counts,
+        idx.reshape(bsz, 1, kp),
+        *(x.reshape(bsz, 1, le) for x in (ax, ay, abx, aby, inv, bw)),
+    )
+
+
 def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
                 one_tier=False):
     """Shared three-tier segment loops over one env's slots.
@@ -1488,7 +1862,11 @@ def rasterize_masks_packed_pallas_soa(
     # A segment takes one slot copy per touched 128-lane block, so the
     # user-facing budget of `max_visible` SEGMENTS maps to a slot budget
     # of max_visible * nxb copies (a worst-case segment touches every
-    # block); narrower segments let more than max_visible fit.
+    # block); narrower segments let more than max_visible fit. (The
+    # segment-axis variant with exact segment budgets -- compact_env_seg
+    # / rasterize_env_seg -- measured 42% SLOWER fused: the in-kernel
+    # block-expansion branches cost more than the halved sort+tail;
+    # docs/KERNELS.md round-3.)
     k = e * nxb if max_visible is None else min(max_visible * nxb, e * nxb)
     gran = 16
     u0, v0, u1, v1 = (x.reshape(-1, 1, e) for x in (u0, v0, u1, v1))
