@@ -115,6 +115,15 @@ def measure_ours():
         return vstate, info, checksum, rews
 
     vstate, _ = vector.reset(params, jax.random.key(0), N_ENVS, render=False)
+    # segment-budget guard: the benchmark must not be "fast" by silently
+    # dropping visible segments (env.check_segment_overflow docstring)
+    overflow = int(
+        jnp.sum(jax.jit(fenv.check_segment_overflow)(params, vstate.env))
+    )
+    assert overflow == 0, (
+        f"{overflow} rasterizer slot copies dropped -- raise "
+        "CameraConfig.max_visible_segments"
+    )
     info = jax.vmap(lambda s: fenv._info(params, s))(vstate.env)
     vstate, info, checksum, _ = jax.block_until_ready(
         rollout(vstate, info)

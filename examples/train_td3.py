@@ -110,10 +110,11 @@ if __name__ == "__main__":
     snapshot_weights(0)
     st = time.perf_counter()
     for i in range(n_chunks):
-        # per-chunk OU sigma decay, the batched analogue of the reference's
-        # per-episode decay (train_td3.py:179)
+        # linear decay of the OU sigma level across the run; each env
+        # adopts it at its own episode boundary, so sigma stays constant
+        # within episodes exactly like the reference (train_td3.py:179)
         state = state.replace(
-            sigma=jnp.asarray(0.4 * (1 - i / n_chunks), jnp.float32)
+            sigma_target=jnp.asarray(0.4 * (1 - i / n_chunks), jnp.float32)
         )
         state, out = run(state)
         out = jax.device_get(out)

@@ -61,3 +61,40 @@ def test_fused_chunk(params):
     )
     # queue carries newest feature at slot 0 and is never cleared
     assert np.any(np.asarray(state.queue[:, 0]) != 0)
+
+
+def test_sigma_per_episode(params):
+    """OU sigma is constant within an episode and adopts sigma_target only
+    at episode boundaries (reference train_td3.py:179 semantics)."""
+    cfg = td3.TD3Config(seq_len=3, batch_size=8)
+    loop_cfg = LoopConfig(replay_size=64, max_episode_steps=2)
+
+    def encoder_apply(obs):
+        x = obs.astype(jnp.float32)
+        f = x.reshape(x.shape[0], -1)
+        pad = 256 - (f.shape[1] % 256)
+        f = jnp.pad(f, ((0, 0), (0, pad)))
+        return f.reshape(x.shape[0], -1, 256).mean(axis=1)
+
+    state = init_loop(params, cfg, loop_cfg, jax.random.key(0), B)
+    assert np.all(np.asarray(state.sigma) == np.float32(0.4))
+    state = state.replace(sigma_target=jnp.asarray(0.1, jnp.float32))
+    run = jax.jit(
+        partial(
+            chunk,
+            params=params,
+            cfg=cfg,
+            loop_cfg=loop_cfg,
+            encoder_apply=encoder_apply,
+            n_steps=1,
+        )
+    )
+    state, out = run(state)
+    done = np.asarray(out["done"])[0]
+    sigma = np.asarray(state.sigma)
+    # envs that finished adopted the new level; others kept the old one
+    assert np.all(sigma[done] == np.float32(0.1))
+    assert np.all(sigma[~done] == np.float32(0.4))
+    # with max_episode_steps=2 every env truncates by step 2
+    state, out = run(state)
+    assert np.all(np.asarray(state.sigma) == np.float32(0.1))

@@ -210,3 +210,25 @@ def test_evaluate_harness_stanley():
         assert k in res
     assert res["steps_per_s"] > 0
     assert res["positions"].shape == (90, 2)
+
+
+def test_evaluate_sequential_strict():
+    """sequential=True reproduces the reference's episode structure
+    (benchmark_tinycar_net.py:46-65): one env, steps*episodes iterations,
+    trajectory metrics over every iteration."""
+    from tinycarlo_tpu.train import evaluate as ev_fn
+
+    params = fenv.make_env_params(CONFIG, dtype=jnp.float64)
+
+    def act(obs, m, carry, key):
+        return jnp.zeros((obs.shape[0],), jnp.float64), carry
+
+    res = ev_fn(
+        act, params, maneuver=0, carry_init=None, steps=10, episodes=3,
+        sequential=True,
+    )
+    assert res["positions"].shape == (30, 2)
+    assert np.isfinite(res["cte_avg"])
+    # the forced i%steps==0 resets respawn the env: position jumps of a
+    # respawn are possible but the trajectory stays on-map (finite)
+    assert np.all(np.isfinite(res["positions"]))

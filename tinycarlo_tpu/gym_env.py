@@ -168,6 +168,9 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
         self._render_obs_fn = jax.jit(
             fenv.render_observation, static_argnames=("fmt",)
         )
+        # DEBUG-only staged functions (reference per-stage timing parity,
+        # env.py:144-145); compiled lazily so normal runs pay nothing.
+        self._debug_fns = None
 
         self.action_space = gym.spaces.Dict(
             {
@@ -248,33 +251,44 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
     def step(self, action: Dict[str, Any]):
         st = time.perf_counter()
         control = np.clip(np.asarray(action["car_control"], np.float64), -1, 1)
-        self.state, _, reward, terminated, truncated, info = self._step_fn(
-            self.params,
-            self.state,
-            {
-                "car_control": jnp.asarray(control),
-                "maneuver": jnp.asarray(int(action["maneuver"])),
-            },
-            render=False,
-            wrapped=self.wrapped,
-        )
-        # one fused device->host transfer per step (matters when the chip
-        # sits behind a network tunnel: per-scalar syncs dominate otherwise)
-        if not self.no_observation or self.render_mode is not None:
-            obs_dev = self._render_obs_fn(self.params, self.state)
-            observation, reward, terminated, truncated, info = jax.device_get(
-                (obs_dev, reward, terminated, truncated, info)
+        act = {
+            "car_control": jnp.asarray(control),
+            "maneuver": jnp.asarray(int(action["maneuver"])),
+        }
+        want_obs = not self.no_observation or self.render_mode is not None
+        if getenv("DEBUG"):
+            observation, reward, terminated, truncated, info = self._step_debug(
+                act, want_obs, st
             )
         else:
-            reward, terminated, truncated, info = jax.device_get(
-                (reward, terminated, truncated, info)
+            # ONE fused device dispatch for car step + obs render + info and
+            # ONE device->host transfer per step (matters when the chip sits
+            # behind a network tunnel: each dispatch pays the ~ms round trip)
+            self.state, obs_dev, reward, terminated, truncated, info = (
+                self._step_fn(
+                    self.params,
+                    self.state,
+                    act,
+                    render=want_obs,
+                    wrapped=self.wrapped,
+                )
             )
-            observation = np.zeros(self.observation_space.shape, dtype=np.uint8)
+            if want_obs:
+                observation, reward, terminated, truncated, info = (
+                    jax.device_get(
+                        (obs_dev, reward, terminated, truncated, info)
+                    )
+                )
+            else:
+                reward, terminated, truncated, info = jax.device_get(
+                    (reward, terminated, truncated, info)
+                )
+                observation = np.zeros(
+                    self.observation_space.shape, dtype=np.uint8
+                )
         if self.render_mode == "human":
             self._render_frame()
         self.loop_time = time.perf_counter() - st
-        if getenv("DEBUG"):
-            print(f"all: {self.loop_time*1000:.2f} ms")
         return (
             np.asarray(observation),
             float(reward),
@@ -282,6 +296,77 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
             bool(truncated),
             self._convert_info(info),
         )
+
+    def _step_debug(self, act, want_obs: bool, st: float):
+        """DEBUG=1 staged step with the reference's per-stage timing prints
+        (env.py:144-145 all/obs/info/car-step line; camera.py:99-109 stage
+        breakdown). Stages dispatch separately so the timings are honest --
+        slower than the fused production path by design. The per-LAYER
+        camera loop timings have no analogue here (projection is batched
+        over layers in one op), so the camera line reports the fused
+        projection and rasterize stages instead."""
+        if self._debug_fns is None:
+            from tinycarlo_tpu import car as car_mod
+
+            def car_only(params, state, action):
+                control = jnp.clip(action["car_control"], -1.0, 1.0)
+                car_state, truncated = car_mod.car_step(
+                    params.map_data, params.cfg.car, params.cfg.sim.T,
+                    state.car, control[0], control[1], action["maneuver"],
+                )
+                return state.replace(car=car_state), truncated
+
+            def project_only(params, state):
+                return fenv._project_all_layers(params, state.car)
+
+            self._debug_fns = {
+                "car": jax.jit(car_only),
+                "info": jax.jit(fenv._info),
+                "project": jax.jit(project_only),
+            }
+
+        st_step = time.perf_counter()
+        self.state, truncated = jax.block_until_ready(
+            self._debug_fns["car"](self.params, self.state, act)
+        )
+        td_step = time.perf_counter() - st_step
+
+        st_obs = time.perf_counter()
+        if want_obs:
+            jax.block_until_ready(
+                self._debug_fns["project"](self.params, self.state)
+            )
+            td_project = time.perf_counter() - st_obs
+            observation = np.asarray(
+                self._render_obs_fn(self.params, self.state)
+            )
+            td_obs = time.perf_counter() - st_obs
+            print(
+                f"obs projection: {td_project*1000:.4f} ms | "
+                f"render (projection+rasterize fused): "
+                f"{(td_obs-td_project)*1000:.4f} ms"
+            )
+        else:
+            observation = np.zeros(self.observation_space.shape, np.uint8)
+            td_obs = time.perf_counter() - st_obs
+
+        st_info = time.perf_counter()
+        info = jax.device_get(self._debug_fns["info"](self.params, self.state))
+        td_info = time.perf_counter() - st_info
+
+        cte = float(info["cte"])
+        tw = self.params.cfg.car.track_width
+        if self.wrapped:
+            reward, terminated = 0.0, False
+        else:  # reference env.py:87-99
+            reward = max((-1.0 / tw) * cte + 1.0, 0.0)
+            terminated = cte > tw * 10
+        print(
+            f"all: {(time.perf_counter() - st)*1000:.2f} ms | "
+            f"obs render {td_obs*1000:.2f} ms | info {td_info*1000:.2f} ms | "
+            f"car step {td_step*1000:.2f} ms"
+        )
+        return observation, reward, terminated, bool(truncated), info
 
     def render(self) -> Optional[np.ndarray]:
         if self.render_mode == "rgb_array":

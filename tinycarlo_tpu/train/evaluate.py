@@ -50,22 +50,34 @@ def evaluate(
     speed: float = 0.35,
     steps: int = 5000,
     episodes: int = 5,
+    sequential: bool = False,
 ) -> Dict[str, float]:
-    """Run `episodes` parallel rollouts of `steps` each.
+    """Run `episodes` rollouts of `steps` each.
 
     `act_fn(obs_uint8 (B,...), maneuver (B,), carry, key) -> (steering (B,),
     carry)` -- the carry holds e.g. a temporal feature queue
     (benchmark_tinycar_net.py:36-44). Terminated/truncated envs auto-reset
     in-graph; terminations counts terminated only, like the reference
     (benchmark_tinycar_net.py:60-62).
+
+    `sequential=False` (default): the `episodes` run as a parallel batch --
+    equivalent in expectation, maximally fast. `sequential=True` is the
+    strict-parity mode reproducing the reference's episode semantics
+    (benchmark_tinycar_net.py:46-65): ONE env stepped `steps*episodes`
+    times in sequence, reset on termination and additionally whenever
+    `i % steps == 0` (including i=0, as the reference does), the act_fn
+    carry rolling across resets uncleared. Use it when comparing
+    per-episode numbers against reference-published evaluations.
     """
     stack = standard_stack()
-    B = episodes
+    B = 1 if sequential else episodes
+    n_steps = steps * episodes if sequential else steps
     m_arr = jnp.full((B,), maneuver, jnp.int32)
     act_m = jnp.where(m_arr != 2, m_arr, 3)
 
-    def body(c, key):
+    def body(c, xs):
         vstate, carry = c
+        key, i = xs
         obs = fenv.render_observation_batch(params, vstate.env)
         steering, carry = act_fn(obs, m_arr, carry, key)
         action = {
@@ -77,6 +89,21 @@ def evaluate(
         vstate, _, rew, term, trunc, info = vector.step(
             params, vstate, action, stack=stack, render=False
         )
+        if sequential:
+            # reference benchmark_tinycar_net.py:63-65: a fresh episode
+            # starts every `steps` iterations regardless of termination
+            fresh, _ = vector.reset(
+                params, jax.random.fold_in(key, 2), B, stack=stack,
+                render=False,
+            )
+            force = (i % steps) == 0
+            vstate = jax.tree.map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(force, (1,) * old.ndim), new, old
+                ),
+                fresh,
+                vstate,
+            )
         out = {
             "reward": rew,
             "terminated": term,
@@ -90,15 +117,34 @@ def evaluate(
     def run(key, carry, n):
         vstate, _ = vector.reset(params, key, B, stack=stack, render=False)
         keys = jax.random.split(jax.random.fold_in(key, 1), n)
-        (_, carry), traj = jax.lax.scan(body, (vstate, carry), keys)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        (_, carry), traj = jax.lax.scan(body, (vstate, carry), (keys, idx))
         return traj
+
+    # segment-budget guard: verify the rasterizer's max_visible_segments
+    # budget fits this map/camera before trusting the metrics (the
+    # reference draws unbounded lists and can never drop pixels).
+    @jax.jit
+    def _overflow(key):
+        vstate, _ = vector.reset(params, key, B, stack=stack, render=False)
+        return jnp.sum(fenv.check_segment_overflow(params, vstate.env))
+
+    ov = int(_overflow(jax.random.key(seed)))
+    if ov:
+        import warnings
+
+        warnings.warn(
+            f"evaluate: {ov} rasterizer slot copies dropped at spawn states"
+            " -- observations are losing pixels; raise"
+            " CameraConfig.max_visible_segments"
+        )
 
     # compile outside the clock, then measure (reference measures inference
     # time per step; we measure the whole fused rollout)
     _ = jax.block_until_ready(run(jax.random.key(seed), carry_init, 2))
     st = time.perf_counter()
     traj = jax.block_until_ready(
-        run(jax.random.key(seed), carry_init, steps)
+        run(jax.random.key(seed), carry_init, n_steps)
     )
     wall = time.perf_counter() - st
 

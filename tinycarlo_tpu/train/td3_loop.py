@@ -55,7 +55,13 @@ class LoopState:
     buf: rb.ReplayBuffer
     td3_state: td3.TD3State
     key: jnp.ndarray
-    sigma: jnp.ndarray  # () current OU sigma (decayed by the host per chunk)
+    # Per-env OU sigma. Reference semantics (train_td3.py:179): sigma is
+    # CONSTANT within an episode and drops to the current decay level only
+    # when a new episode starts. `sigma_target` is that level -- the host
+    # lowers it across the run (examples/train_td3.py); each env picks it
+    # up at its own episode boundary.
+    sigma: jnp.ndarray  # (B,)
+    sigma_target: jnp.ndarray  # ()
 
 
 def init_loop(
@@ -85,7 +91,8 @@ def init_loop(
         buf=rb.create(loop_cfg.replay_size, example),
         td3_state=td3.create(k_td3, cfg),
         key=k_loop,
-        sigma=jnp.asarray(0.4, jnp.float32),
+        sigma=jnp.full((n_envs,), 0.4, jnp.float32),
+        sigma_target=jnp.asarray(0.4, jnp.float32),
     )
 
 
@@ -110,7 +117,9 @@ def chunk(
 
         feat_seq = s.queue[:, :-1]  # newest seq_len entries
         m_onehot = jax.nn.one_hot(s.maneuver, cfg.maneuver_dim)
-        noise = ou_step(s.noise, k_ou, cfg.noise_theta, cfg.noise_mean, s.sigma)
+        noise = ou_step(
+            s.noise, k_ou, cfg.noise_theta, cfg.noise_mean, s.sigma[:, None]
+        )
         action = td3.select_action(
             s.td3_state, cfg, feat_seq, m_onehot, noise,
             loop_cfg.steering_shift,
@@ -168,6 +177,9 @@ def chunk(
 
         done = term | trunc
         noise = jnp.where(done[:, None], 0.0, noise)
+        # episode boundary: adopt the host's current decay level
+        # (train_td3.py:179 -- sigma never changes mid-episode)
+        sigma = jnp.where(done, s.sigma_target, s.sigma)
         maneuver = jnp.where(
             done, jax.random.randint(k_m, (n_envs,), 0, 3, jnp.int32), s.maneuver
         )
@@ -190,6 +202,7 @@ def chunk(
             buf=buf,
             td3_state=td3_state,
             key=key,
+            sigma=sigma,
         )
         return s, out
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from tinycarlo_tpu import env as fenv
+from tinycarlo_tpu.utils.helper import getenv
 from tinycarlo_tpu.wrapper.functional import WrapperStack
 
 
@@ -59,6 +60,17 @@ def reset(
         counters=counters,
         episode_step=jnp.zeros((n_envs,), jnp.int32),
     )
+    if getenv("DEBUG"):
+        # segment-budget guard (reference draws unbounded lists and can
+        # never drop, renderer.py:41-43; our fixed max_visible_segments
+        # can): report dropped rasterizer slots at the spawn states.
+        overflow = jnp.sum(fenv.check_segment_overflow(params, env_state))
+        jax.debug.print(
+            "tinycarlo_tpu: segment overflow at reset = {} dropped slot "
+            "copies across the batch (0 = max_visible_segments budget "
+            "fits; raise CameraConfig.max_visible_segments if nonzero)",
+            overflow,
+        )
     obs = (
         fenv.render_observation_batch(params, env_state)
         if render
