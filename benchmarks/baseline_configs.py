@@ -176,10 +176,15 @@ def config4():
         params.cfg, sim=dataclasses.replace(
             params.cfg.sim, observation_space_format="classes")))
     cfg = td3.TD3Config()
+    obs_dtype = {
+        "uint8": None, "float32": jnp.float32, "bfloat16": jnp.bfloat16,
+    }[os.environ.get("BENCH_OBS_DTYPE", "bfloat16")]
     loop_cfg = LoopConfig(speed=0.4, replay_size=100_000,
-                          max_episode_steps=1000)
+                          max_episode_steps=1000, obs_dtype=obs_dtype)
     stack = standard_stack()
-    enc = TinycarEncoder()
+    enc_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        os.environ.get("BENCH_ENC_DTYPE", "float32")]
+    enc = TinycarEncoder(dtype=enc_dtype)
     obs_shape = fenv.observation_shape(params)
     enc_vars = enc.init(
         jax.random.key(1), pre_obs(jnp.zeros((1, *obs_shape), jnp.uint8)))
@@ -190,6 +195,11 @@ def config4():
     from functools import partial
     state = init_loop(params, cfg, loop_cfg, jax.random.key(0), n_envs,
                       stack)
+    # NOTE: donate_argnums=(0,) would avoid XLA's per-chunk-entry copies
+    # of the replay buffers (2 x 1 GB at default sizes, ~0.1 ms/step at
+    # 100-step chunks), but buffer donation raises InvalidArgument through
+    # the tunneled (axon) TPU backend -- enable it on directly-attached
+    # devices.
     run = jax.jit(partial(chunk, params=params, cfg=cfg, loop_cfg=loop_cfg,
                           encoder_apply=encoder_apply, n_steps=chunk_steps,
                           stack=stack))

@@ -25,14 +25,14 @@ _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), 
 
 from examples._common import default_config
 from tinycarlo_tpu import env as fenv
-from tinycarlo_tpu.models import pre_obs
 from tinycarlo_tpu.train import evaluate as evaluate_fn
 from tinycarlo_tpu.train.evaluate import combo_policy
 from tinycarlo_tpu.train.il import (
     ILConfig,
     collect_dataset,
     create,
-    train_step,
+    save_variables_npz,
+    train_chunk,
 )
 
 BUFFER_SAVEFILE = os.environ.get("IL_DATA", "/tmp/stanley_training_data.npz")
@@ -72,41 +72,41 @@ if __name__ == "__main__":
     )
 
     state = create(jax.random.key(1), obs_shape, cfg)
-    step = jax.jit(partial(train_step, cfg=cfg))
-    # device-side dataset + uint8->float conversion per batch
-    Xd, Md, Yd = jnp.asarray(X), jnp.asarray(M, jnp.int32), jnp.asarray(Y)
+    # device-resident dataset; batches are sampled and converted on-device
+    data = {
+        "x": jnp.asarray(X),
+        "m": jnp.asarray(M, jnp.int32),
+        "y": jnp.asarray(Y),
+    }
+    CHUNK = 500
+    # data must be a jit ARGUMENT (not closed over): a captured 1.5 GB
+    # constant gets baked into the compiled program
+    run = jax.jit(partial(train_chunk, cfg=cfg, n_steps=CHUNK))
 
     print("Training:")
-    rng = np.random.default_rng(0)
-    losses, acc = [], 0.0
+    losses = []
+    key = jax.random.key(2)
     st = time.perf_counter()
-    for i in range(cfg.steps):
-        idx = jnp.asarray(rng.integers(0, len(X), cfg.batch_size))
-        batch = {
-            "x": pre_obs(Xd[idx]),
-            "m": jax.nn.one_hot(Md[idx], cfg.maneuver_dim),
-            "y": Yd[idx],
-        }
-        state, loss = step(state, batch=batch)
-        acc += float(loss)
-        if (i + 1) % 500 == 0:
-            losses.append(acc / 500)
-            print(
-                f"step {i+1}/{cfg.steps} loss {losses[-1]:.6f} "
-                f"({(i+1)/(time.perf_counter()-st):.0f} steps/s)"
-            )
-            acc = 0.0
+    for i in range(cfg.steps // CHUNK):
+        key, sub = jax.random.split(key)
+        state, chunk_losses = run(state, key=sub, data=data)
+        losses += list(np.asarray(chunk_losses))
+        print(
+            f"step {(i+1)*CHUNK}/{cfg.steps} loss "
+            f"{np.mean(losses[-CHUNK:]):.6f} "
+            f"({(i+1)*CHUNK/(time.perf_counter()-st):.0f} steps/s)"
+        )
 
     out = os.environ.get("IL_MODEL", "/tmp/tinycar_combo_flax.npz")
-    flat = jax.tree_util.tree_flatten_with_path(jax.device_get(state.variables))
-    np.savez(
-        out,
-        **{
-            "/".join(str(getattr(k, "key", k)) for k in path): leaf
-            for path, leaf in flat[0]
-        },
-    )
+    save_variables_npz(out, state.variables)
     print(f"Saved model to: {out}")
+    if os.environ.get("IL_LOSS_CSV"):
+        import csv
+
+        with open(os.environ["IL_LOSS_CSV"], "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["step", "mse_loss"])
+            w.writerows((i, float(l)) for i, l in enumerate(losses))
 
     print("Evaluating:")
     pol = combo_policy(state.model, state.variables)

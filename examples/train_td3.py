@@ -56,25 +56,39 @@ if __name__ == "__main__":
 
     params = fenv.make_env_params(default_config())
     cfg = td3.TD3Config(seq_len=SEQ_LEN)
+    # float obs feed (classes format only): the rasterizer emits 0/1 masks
+    # straight into the frozen encoder -- same values, no uint8 round trip
+    classes = params.cfg.sim.observation_space_format == "classes"
     loop_cfg = LoopConfig(
         speed=SPEED,
         steering_shift=STEERING_SHIFT if include_shift else 0.0,
         replay_size=100_000,
         max_episode_steps=1000,
+        updates_per_step=_arg("--updates", 1),
+        obs_dtype=jnp.bfloat16 if classes else None,
     )
     stack = standard_stack()  # same shaping as train_td3.py:60-62
 
-    # frozen encoder: pretrained combo weights when available, fresh init
-    # otherwise (no network egress)
+    # frozen encoder, in preference order: the reference's pretrained combo
+    # (download; reference tinycar_net.py:113-129), an IL-trained combo
+    # from examples/train_stanley_il.py (IL_MODEL), fresh init.
     enc = TinycarEncoder()
     obs_shape = fenv.observation_shape(params)
     pretrained = load_pretrained(tuple(obs_shape))
+    if pretrained is None:
+        il_model = os.environ.get("IL_MODEL", "/tmp/tinycar_combo_flax.npz")
+        if os.path.exists(il_model):
+            from tinycarlo_tpu.train.il import load_variables_npz
+
+            pretrained = load_variables_npz(il_model)
+            print(f"loaded IL-trained combo from {il_model}")
+    else:
+        print("loaded pretrained encoder")
     if pretrained is not None:
         enc_vars = {
             "params": pretrained["params"]["encoder"],
             "batch_stats": pretrained["batch_stats"]["encoder"],
         }
-        print("loaded pretrained encoder")
     else:
         enc_vars = enc.init(
             jax.random.key(1), pre_obs(jnp.zeros((1, *obs_shape), jnp.uint8))
@@ -84,6 +98,10 @@ if __name__ == "__main__":
         return enc.apply(enc_vars, pre_obs(obs))
 
     state = init_loop(params, cfg, loop_cfg, jax.random.key(0), n_envs, stack)
+    # NOTE: donate_argnums=(0,) here would avoid XLA's per-chunk-entry
+    # copies of the replay buffers, but donation raises InvalidArgument
+    # through the tunneled (axon) TPU backend; enable it on
+    # directly-attached devices.
     run = jax.jit(
         partial(
             chunk,

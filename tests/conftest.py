@@ -44,7 +44,12 @@ _SLOW_TESTS = {
         "test_reset_step_smoke",
         "test_rgb_observation_parity",
     },
-    "test_parallel.py": {"test_graft_dryrun", "test_sp_rasterize_bit_equal"},
+    "test_parallel.py": {
+        "test_graft_dryrun",
+        "test_sp_rasterize_bit_equal",
+        "test_sp_packed_kernel_bit_equal",
+        "test_sp_env_observation_bit_equal",
+    },
     "test_vector.py": {
         "test_vmap_matches_single",
         "test_sharded_batch_runs",
@@ -81,7 +86,11 @@ _SLOW_TESTS = {
         "test_replay_ring_and_sample",
         "test_evaluate_sequential_strict",
     },
-    "test_td3_loop.py": {"test_fused_chunk", "test_sigma_per_episode"},
+    "test_td3_loop.py": {
+        "test_fused_chunk",
+        "test_sigma_per_episode",
+        "test_float_obs_path_matches_uint8",
+    },
     "test_car_parity.py": {
         "test_info_parity",
         "test_trajectory_parity",

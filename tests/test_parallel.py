@@ -99,3 +99,75 @@ def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sp_packed_kernel_bit_equal():
+    """Production SP: the packed segment axis sharded through the Pallas
+    kernel (compaction included) is bit-equal to the unsharded kernel."""
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        rasterize_masks_packed_pallas_soa,
+    )
+    from tinycarlo_tpu.parallel.sp import rasterize_masks_packed_sp
+
+    mesh = parallel.make_mesh(model=4)
+    rng = np.random.default_rng(5)
+    B, E, H, W, L = 4, 50, 32, 160, 3  # E % 4 != 0: exercises padding
+    u0 = jnp.asarray(rng.uniform(-5, W + 5, (B, E)), jnp.float32)
+    v0 = jnp.asarray(rng.uniform(-5, H + 5, (B, E)), jnp.float32)
+    u1 = u0 + jnp.asarray(rng.uniform(-30, 30, (B, E)), jnp.float32)
+    v1 = v0 + jnp.asarray(rng.uniform(-12, 12, (B, E)), jnp.float32)
+    draw = jnp.asarray(rng.random((B, E)) < 0.7)
+    edge_layer = jnp.asarray(rng.integers(0, L, (E,)), jnp.int32)
+
+    expected = rasterize_masks_packed_pallas_soa(
+        u0, v0, u1, v1, draw, edge_layer, L, (H, W), 2, interpret=True
+    )
+    got = rasterize_masks_packed_sp(
+        u0, v0, u1, v1, draw, edge_layer, L, (H, W), 2, mesh,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+    assert np.asarray(expected).sum() > 0
+    # DP x SP: batch sharded over data simultaneously
+    got_dp = rasterize_masks_packed_sp(
+        u0, v0, u1, v1, draw, edge_layer, L, (H, W), 2, mesh,
+        data_sharded=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_dp), np.asarray(expected))
+
+
+def test_sp_env_observation_bit_equal():
+    """render_observation_batch_sp == unsharded production path on a real
+    map/camera, including projection on the sharded edge axis."""
+    from tests.test_env import CONFIG
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu import vector
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        rasterize_masks_packed_pallas_soa,
+    )
+    from tinycarlo_tpu.parallel.sp import render_observation_batch_sp
+
+    cfg = dict(CONFIG)
+    cfg["camera"] = dict(CONFIG["camera"], resolution=[32, 40])
+    params = fenv.make_env_params(cfg, dtype=jnp.float32)
+    mesh = parallel.make_mesh(model=2)
+    vstate, _ = vector.reset(params, jax.random.key(2), 4, render=False)
+
+    u0, v0, u1, v1, draw = fenv._project_packed_batch_soa(params, vstate.env)
+    expected = rasterize_masks_packed_pallas_soa(
+        u0, v0, u1, v1, draw, params.map_data.packed_edge_layer,
+        params.map_data.n_layers, (32, 40),
+        params.cfg.camera.line_thickness,
+        max_visible=params.cfg.camera.max_visible_segments,
+        interpret=True,
+        layer_bounds=params.map_data.packed_layer_bounds or None,
+    )
+    got = render_observation_batch_sp(
+        params, vstate.env, mesh, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+    assert np.asarray(expected).sum() > 0
+    got_dp = render_observation_batch_sp(
+        params, vstate.env, mesh, data_sharded=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_dp), np.asarray(expected))

@@ -479,3 +479,57 @@ def test_segment_axis_alternate_matches_production():
     got = rasterize_env_seg(soa, L, (H, W), 2, gran=16, split=True,
                             interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+
+
+def test_float_out_dtype_matches_uint8():
+    """A float out_dtype emits exactly (uint8_mask > 0) as 0/1 in that
+    dtype -- the in-graph encoder feed (train/td3_loop obs_dtype) must be
+    value-identical to the uint8 observation contract."""
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        rasterize_masks_packed_pallas_soa,
+    )
+
+    rng = np.random.default_rng(11)
+    B, E, H, W = 3, 24, 32, 160
+    L = 2
+    u0 = jnp.asarray(rng.uniform(-5, W + 5, (B, E)), jnp.float32)
+    v0 = jnp.asarray(rng.uniform(-5, H + 5, (B, E)), jnp.float32)
+    u1 = u0 + jnp.asarray(rng.uniform(-30, 30, (B, E)), jnp.float32)
+    v1 = v0 + jnp.asarray(rng.uniform(-10, 10, (B, E)), jnp.float32)
+    draw = jnp.asarray(rng.random((B, E)) < 0.6)
+    edge_layer = jnp.asarray(rng.integers(0, L, (E,)), jnp.int32)
+
+    ref = rasterize_masks_packed_pallas_soa(
+        u0, v0, u1, v1, draw, edge_layer, L, (H, W), 2, interpret=True
+    )
+    for dt in (jnp.float32, jnp.bfloat16):
+        got = rasterize_masks_packed_pallas_soa(
+            u0, v0, u1, v1, draw, edge_layer, L, (H, W), 2,
+            interpret=True, out_dtype=dt,
+        )
+        assert got.dtype == dt
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32),
+            (np.asarray(ref) > 0).astype(np.float32),
+        )
+    assert np.asarray(ref).sum() > 0
+
+
+def test_render_observation_batch_out_dtype():
+    """env-level float masks equal (uint8 obs > 0) on the fallback path."""
+    from tests.test_env import CONFIG
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu import vector
+
+    cfg = dict(CONFIG)
+    cfg["camera"] = dict(CONFIG["camera"], resolution=[32, 40])
+    params = fenv.make_env_params(cfg, dtype=jnp.float32)
+    vstate, _ = vector.reset(params, jax.random.key(0), 4, render=False)
+    u8 = fenv.render_observation_batch(params, vstate.env)
+    f32 = fenv.render_observation_batch(
+        params, vstate.env, out_dtype=jnp.float32
+    )
+    assert f32.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(f32), (np.asarray(u8) > 0).astype(np.float32)
+    )

@@ -98,3 +98,42 @@ def test_sigma_per_episode(params):
     # with max_episode_steps=2 every env truncates by step 2
     state, out = run(state)
     assert np.all(np.asarray(state.sigma) == np.float32(0.1))
+
+
+def test_float_obs_path_matches_uint8(params):
+    """obs_dtype=float32 feeds the encoder identical values to the uint8
+    path, so the whole chunk (losses, rewards, states) is bit-identical."""
+    cfg = td3.TD3Config(seq_len=3, batch_size=8)
+
+    def encoder_apply(obs):
+        x = obs.astype(jnp.float32) / 255.0 if obs.dtype == jnp.uint8 else obs
+        f = x.reshape(x.shape[0], -1)
+        pad = 256 - (f.shape[1] % 256)
+        f = jnp.pad(f, ((0, 0), (0, pad)))
+        return f.reshape(x.shape[0], -1, 256).mean(axis=1)
+
+    outs = []
+    states = []
+    for obs_dtype in (None, jnp.float32):
+        loop_cfg = LoopConfig(
+            replay_size=64, max_episode_steps=50, obs_dtype=obs_dtype
+        )
+        state = init_loop(params, cfg, loop_cfg, jax.random.key(0), B)
+        run = jax.jit(
+            partial(
+                chunk,
+                params=params,
+                cfg=cfg,
+                loop_cfg=loop_cfg,
+                encoder_apply=encoder_apply,
+                n_steps=4,
+            )
+        )
+        state, out = run(state)
+        outs.append(jax.device_get(out))
+        states.append(state)
+    for k in outs[0]:
+        np.testing.assert_array_equal(outs[0][k], outs[1][k], err_msg=k)
+    np.testing.assert_array_equal(
+        np.asarray(states[0].queue), np.asarray(states[1].queue)
+    )

@@ -195,21 +195,31 @@ def render_observation_batch(
     params: EnvParams,
     states: EnvState,  # batched leaves (B, ...)
     fmt: Optional[str] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Batched observation rendering: projection vmaps over envs, but the
     rasterizer sees the whole (B, L, E) segment batch at once so the TPU
     path uses the fused one-instance-per-env multilayer kernel (a plain
     `vmap(render_observation)` would fall back to per-frame instances).
+
+    `out_dtype=None` keeps the env observation contract (uint8, 0/255 for
+    classes). A float `out_dtype` (classes format only) emits 0/1 masks
+    straight from the kernel for in-graph consumers -- the frozen-encoder
+    feature path in train/td3_loop -- skipping the uint8 materialization
+    and the downstream /255 conversion entirely.
     """
     cfg = params.cfg
     fmt = fmt or cfg.sim.observation_space_format
     md = params.map_data
+    if out_dtype is not None and fmt != "classes":
+        raise ValueError("float out_dtype is only defined for classes masks")
     u0, v0, u1, v1, draw = _project_packed_batch_soa(params, states)
     masks = ras.rasterize_masks_packed_auto_soa(
         u0, v0, u1, v1, draw, md.packed_edge_layer, md.n_layers,
         cfg.camera.resolution, cfg.camera.line_thickness,
         max_visible=cfg.camera.max_visible_segments,
         layer_bounds=md.packed_layer_bounds or None,
+        out_dtype=out_dtype if out_dtype is not None else jnp.uint8,
     )
     if fmt == "classes":
         return masks

@@ -40,13 +40,18 @@ model_urls: Dict[Tuple[int, int, int], str] = {
 
 
 def pre_obs(obs: jnp.ndarray) -> jnp.ndarray:
-    """uint8 env observation -> float NHWC in [0,1].
+    """Env observation -> float NHWC in [0,1].
 
     Accepts (..., C, H, W) "classes" or (..., H, W, 3) "rgb" layouts (the
-    env's two formats, reference env.py:68-73) and the reference's
-    obs/255 scaling (benchmark_tinycar_net.py:20-21).
+    env's two formats, reference env.py:68-73). uint8 input gets the
+    reference's obs/255 scaling (benchmark_tinycar_net.py:20-21); float
+    input (the kernel's direct 0/1 masks, rasterize_env_idx out_dtype) is
+    already scaled and only needs the layout move.
     """
-    x = obs.astype(jnp.float32) / 255.0
+    if obs.dtype == jnp.uint8:
+        x = obs.astype(jnp.float32) / 255.0
+    else:
+        x = obs
     if x.shape[-1] not in (1, 3):  # (..., C, H, W) -> (..., H, W, C)
         x = jnp.moveaxis(x, -3, -1)
     return x

@@ -239,11 +239,15 @@ def rasterize_masks_packed_auto_soa(
     thickness: int = 1,
     max_visible: int = None,
     layer_bounds: Tuple[int, ...] = None,
+    out_dtype=jnp.uint8,
 ) -> jnp.ndarray:
     """`rasterize_masks_packed_auto` taking the projection's unstacked
     coordinate arrays: on TPU the SoA flows straight into compaction
     (no (..., E, 2) stack whose minor-2 layout costs relayout copies);
-    elsewhere the coordinates are stacked for the dense fallback."""
+    elsewhere the coordinates are stacked for the dense fallback.
+    `out_dtype=uint8` gives 0/255 observation masks; a float dtype gives
+    0/1 masks for in-graph consumers (skips the uint8 materialization on
+    TPU; the fallback converts after the fact, same values)."""
     if jax.default_backend() == "tpu":
         from tinycarlo_tpu.ops.rasterize_pallas import (
             rasterize_masks_packed_pallas_soa,
@@ -252,13 +256,17 @@ def rasterize_masks_packed_auto_soa(
         return rasterize_masks_packed_pallas_soa(
             u0, v0, u1, v1, draw, edge_layer, n_layers, resolution,
             thickness, max_visible=max_visible, layer_bounds=layer_bounds,
+            out_dtype=out_dtype,
         )
     p0 = jnp.stack([u0, v0], axis=-1)
     p1 = jnp.stack([u1, v1], axis=-1)
-    return rasterize_masks_packed_auto(
+    masks = rasterize_masks_packed_auto(
         p0, p1, draw, edge_layer, n_layers, resolution, thickness,
         max_visible=max_visible, layer_bounds=layer_bounds,
     )
+    if jnp.dtype(out_dtype) != jnp.uint8:
+        masks = (masks > 0).astype(out_dtype)
+    return masks
 
 
 def rasterize_masks_tiled(

@@ -1289,7 +1289,7 @@ def rasterize_env_seg(
 
 
 def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
-                one_tier=False):
+                one_tier=False, fill=255.0):
     """Shared three-tier segment loops over one env's slots.
 
     `load(s)` returns slot s's SoA scalars (ax, ay, abx, aby, inv, bw).
@@ -1324,7 +1324,7 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         # it from y0 keeps both starts int32 in every mode.
         pltpu.store(
             scratch.at[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])],
-            jnp.full((rows, scratch.shape[-1]), 255.0, jnp.float32),
+            jnp.full((rows, scratch.shape[-1]), fill, jnp.float32),
             mask=hit,
         )
 
@@ -1412,17 +1412,27 @@ def _kernel_env_idx(
     nxb,
     group,
     one_tier,
+    out_dtype=jnp.uint8,
 ):
     """Env-merged kernel with slot->copy index indirection and optional
-    multi-env grid packing, blocked (automatic) output path.
+    multi-env grid packing, blocked (automatic) output path. This is the
+    PRODUCTION kernel (docs/KERNELS.md round-2: index indirection beat
+    the one-hot routing matmul; `_kernel_env_dma` is the manual-DMA A/B).
 
     Same tiered window loops as `_kernel_env_dma` (see `_tier_loops`);
     per slot the SoA scalars are read through `idx_ref` (one extra SMEM
     scalar load), which lets the caller skip the one-hot routing matmul
     entirely. `group` envs share one grid instance.
+
+    `out_dtype=uint8` emits 0/255 masks (the env observation contract,
+    reference renderer.py:46-51); a float `out_dtype` emits 0/1 masks for
+    in-graph consumers (frozen-encoder feature path, train/td3_loop),
+    skipping the uint8 materialization + the downstream /255 convert.
     """
     wb = _XB if nxb > 1 else w
     i = pl.program_id(0)
+    as_uint8 = out_dtype == jnp.uint8
+    fill = 255.0 if as_uint8 else 1.0
 
     for g in range(group):
         n = count_ref[0, i * group + g]
@@ -1432,7 +1442,7 @@ def _kernel_env_idx(
         @pl.when(n == 0)
         def _empty(g=g):
             for l in range(n_layers):
-                out_ref[g, l] = jnp.zeros((h, w), jnp.uint8)
+                out_ref[g, l] = jnp.zeros((h, w), out_dtype)
 
         @pl.when(n > 0)
         def _live(g=g, n=n, n_one=n_one, n_short=n_short):
@@ -1459,13 +1469,12 @@ def _kernel_env_idx(
                 )
 
             _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran,
-                        win, one_tier=one_tier)
+                        win, one_tier=one_tier, fill=fill)
             for l in range(n_layers):
                 liv = count_ref[4 + l, i * group + g] > 0
 
                 @pl.when(liv)
                 def _convert(l=l, g=g):
-                    # f32 -> int32 -> uint8 (direct cast miscompiles)
                     if nxb == 1:
                         frame = scratch[l * hp : l * hp + h]
                     else:
@@ -1477,18 +1486,24 @@ def _kernel_env_idx(
                             for bl in range(nxb)
                         ]
                         frame = jnp.concatenate(strips, axis=1)[:, :w]
-                    out_ref[g, l] = frame.astype(jnp.int32).astype(jnp.uint8)
+                    if as_uint8:
+                        # f32 -> int32 -> uint8 (direct cast miscompiles)
+                        out_ref[g, l] = frame.astype(jnp.int32).astype(
+                            jnp.uint8
+                        )
+                    else:
+                        out_ref[g, l] = frame.astype(out_dtype)
 
                 @pl.when(jnp.logical_not(liv))
                 def _zero(l=l, g=g):
-                    out_ref[g, l] = jnp.zeros((h, w), jnp.uint8)
+                    out_ref[g, l] = jnp.zeros((h, w), out_dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_layers", "resolution", "thickness", "gran", "split", "group",
-        "one_tier", "interpret",
+        "one_tier", "interpret", "out_dtype",
     ),
 )
 def rasterize_env_idx(
@@ -1501,12 +1516,15 @@ def rasterize_env_idx(
     group: int = 1,
     one_tier: bool = False,
     interpret: bool = False,
+    out_dtype=jnp.uint8,
 ) -> jnp.ndarray:
-    """(B, L, H, W) uint8 masks from a `compact_env_idx` bundle via the
-    blocked output path. `gran`/`split` must match `compact_env_idx`'s
-    arguments; `group` packs that many envs per grid instance (B must
-    divide by it). Production uses `rasterize_env_dma`; this variant is
-    kept for A/B measurement (docs/KERNELS.md round-2 notes).
+    """(B, L, H, W) masks from a `compact_env_idx` bundle via the blocked
+    output path -- the PRODUCTION rasterizer (docs/KERNELS.md round-2;
+    `rasterize_env_dma` is the manual-DMA A/B variant). `gran`/`split`
+    must match `compact_env_idx`'s arguments; `group` packs that many
+    envs per grid instance (B must divide by it). `out_dtype=uint8` gives
+    0/255 observation masks; a float dtype gives 0/1 masks for in-graph
+    consumers (no uint8 materialization, no downstream /255).
     """
     idx, ax, ay, abx, aby, inv, bw, counts = soa
     h, w = resolution
@@ -1516,6 +1534,7 @@ def rasterize_env_idx(
     _, hp, win = _window_rows(gran, h)
     nxb = _n_xblocks(w) if split else 1
     r2 = float(_stroke_radius_sq(thickness))
+    out_dtype = jnp.dtype(out_dtype)
     kernel = functools.partial(
         _kernel_env_idx,
         n_layers=n_layers,
@@ -1528,6 +1547,7 @@ def rasterize_env_idx(
         nxb=nxb,
         group=group,
         one_tier=one_tier,
+        out_dtype=out_dtype,
     )
     smem_idx = pl.BlockSpec(
         (group, 1, kp), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
@@ -1548,7 +1568,7 @@ def rasterize_env_idx(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, n_layers, h, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_layers, h, w), out_dtype),
         interpret=interpret,
     )(
         counts,
@@ -1849,12 +1869,15 @@ def rasterize_masks_packed_pallas_soa(
     max_visible: Optional[int] = None,
     interpret: bool = False,
     layer_bounds: Optional[Tuple[int, ...]] = None,
+    out_dtype=jnp.uint8,
 ) -> jnp.ndarray:
     """SoA-coordinate variant of `rasterize_masks_packed_pallas`: takes
     the projection's unstacked (..., E) coordinate arrays so the whole
     projection -> compaction chain stays fusable (the stacked (..., E, 2)
     point arrays put a 2-extent on the minor/lane axis, which costs XLA
-    relayout copies between projection and compaction)."""
+    relayout copies between projection and compaction). A float
+    `out_dtype` emits 0/1 masks for in-graph consumers (see
+    rasterize_env_idx)."""
     lead = draw.shape[:-1]
     e = draw.shape[-1]
     h, w = resolution
@@ -1881,7 +1904,7 @@ def rasterize_masks_packed_pallas_soa(
     )
     masks = rasterize_env_idx(
         soa, n_layers, tuple(resolution), thickness, gran=gran,
-        split=True, interpret=interpret,
+        split=True, interpret=interpret, out_dtype=out_dtype,
     )
     return masks.reshape(*lead, n_layers, h, w)
 

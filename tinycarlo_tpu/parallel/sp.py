@@ -3,21 +3,161 @@
 The reference has no sequence/context parallelism (SURVEY.md §5 "long
 context" row); the genuinely analogous axis in this workload is the
 map-segment axis of camera rasterization -- large maps mean many
-projected segments per frame. Here each device rasterizes its shard of
-the segment list into a partial mask and a psum-OR over the `model` axis
-composes the final frame, trading an (L,H,W) all-reduce for an S/D-sized
-per-device workload.
+projected segments per frame. Here each device projects, compacts, and
+rasterizes its shard of the segment list into a partial mask and a
+psum-OR over the `model` axis composes the final frame, trading an
+(L,H,W) all-reduce for an E/D-sized per-device workload.
+
+Two tiers:
+  * `render_observation_batch_sp` / `rasterize_masks_packed_sp` -- the
+    PRODUCTION path: the packed edge axis (map_compiler packed_* arrays)
+    sharded through projection + compaction + the Pallas kernel
+    (ops/rasterize_pallas), composable with DP over the `data` axis.
+  * `rasterize_masks_sp` -- the dense-jnp variant on the padded per-layer
+    axis, kept as a portable reference implementation.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tinycarlo_tpu.ops import rasterize as ras
-from tinycarlo_tpu.parallel.mesh import MODEL_AXIS
+from tinycarlo_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _pad_axis(x: jnp.ndarray, axis: int, mult: int, value=0):
+    """Pad `axis` up to a multiple of `mult` (shard_map needs even shards)."""
+    n = x.shape[axis]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def rasterize_masks_packed_sp(
+    u0: jnp.ndarray,  # (B, E) packed edge axis, SoA pixel coords
+    v0: jnp.ndarray,
+    u1: jnp.ndarray,
+    v1: jnp.ndarray,
+    draw: jnp.ndarray,  # (B, E)
+    edge_layer: jnp.ndarray,  # (E,) int32
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int,
+    mesh: Mesh,
+    max_visible: Optional[int] = None,
+    data_sharded: bool = False,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Production-kernel SP: each `model`-axis device compacts and
+    rasterizes its shard of the packed segment axis through the Pallas
+    kernel (ops/rasterize_pallas.rasterize_masks_packed_pallas_soa); a
+    psum-OR composes the (B, L, H, W) masks. Bit-equal to the unsharded
+    kernel whenever the `max_visible` budget is not oversubscribed (the
+    budget applies PER SHARD, so sharding can only ever keep more).
+
+    `data_sharded=True` additionally shards the batch axis over `data`
+    (DP x SP). The segment axis is padded with dead slots to a multiple
+    of the model-axis size.
+    """
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        rasterize_masks_packed_pallas_soa,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    d = mesh.shape[MODEL_AXIS]
+    u0, v0, u1, v1 = (_pad_axis(x, 1, d) for x in (u0, v0, u1, v1))
+    draw = _pad_axis(draw, 1, d, value=False)
+    edge_layer = _pad_axis(edge_layer, 0, d)
+
+    def shard_fn(u0s, v0s, u1s, v1s, draws, layer_s):
+        part = rasterize_masks_packed_pallas_soa(
+            u0s, v0s, u1s, v1s, draws, layer_s, n_layers, resolution,
+            thickness, max_visible=max_visible, interpret=interpret,
+        )
+        hit = (part > 0).astype(jnp.int32)
+        combined = jax.lax.psum(hit, MODEL_AXIS)
+        return jnp.where(combined > 0, jnp.uint8(255), jnp.uint8(0))
+
+    baxis = DATA_AXIS if data_sharded else None
+    bspec = P(baxis, MODEL_AXIS)
+    # check_vma=False: pallas_call does not declare varying-mesh-axes
+    # metadata, so shard_map's vma checker cannot type it
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(bspec,) * 5 + (P(MODEL_AXIS),),
+        out_specs=P(baxis),
+        check_vma=False,
+    )(u0, v0, u1, v1, draw, edge_layer)
+
+
+def render_observation_batch_sp(
+    params,
+    states,
+    mesh: Mesh,
+    data_sharded: bool = False,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """`env.render_observation_batch` (classes format) with the packed
+    segment axis sharded over the `model` mesh axis: each device projects
+    its edge shard (node table + camera matrices replicated), compacts it,
+    and runs the production Pallas kernel; a psum-OR composes the frame.
+    This is the big-map path -- per-device projection/compaction work and
+    segment memory scale with E/device. With `data_sharded=True` the env
+    batch is simultaneously DP-sharded over `data`.
+    """
+    from tinycarlo_tpu import camera as cam
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        rasterize_masks_packed_pallas_soa,
+    )
+
+    cfg = params.cfg
+    md = params.map_data
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    d = mesh.shape[MODEL_AXIS]
+    edges = _pad_axis(md.packed_edges, 1, d)
+    emask = _pad_axis(md.packed_edge_mask, 1, d, value=False)
+    elayer = _pad_axis(md.packed_edge_layer, 0, d)
+
+    def shard_fn(edges_s, emask_s, elayer_s, position, rotation):
+        body = jax.vmap(cam.car_world_to_body_matrix)(position, rotation)
+        pose = jnp.einsum("ij,bjk->bik", params.camera.E, body)
+        u0, v0, u1, v1, draw = cam.project_layers_batch_soa(
+            md.packed_nodes, edges_s, emask_s, pose, params.camera.K,
+            cfg.camera.resolution, cfg.camera.max_range,
+        )
+        part = rasterize_masks_packed_pallas_soa(
+            u0[:, 0], v0[:, 0], u1[:, 0], v1[:, 0], draw[:, 0], elayer_s,
+            md.n_layers, cfg.camera.resolution, cfg.camera.line_thickness,
+            max_visible=cfg.camera.max_visible_segments,
+            interpret=interpret,
+        )
+        hit = (part > 0).astype(jnp.int32)
+        combined = jax.lax.psum(hit, MODEL_AXIS)
+        return jnp.where(combined > 0, jnp.uint8(255), jnp.uint8(0))
+
+    baxis = DATA_AXIS if data_sharded else None
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, MODEL_AXIS, None),  # packed_edges (1, Ep, 2)
+            P(None, MODEL_AXIS),        # packed_edge_mask (1, Ep)
+            P(MODEL_AXIS),              # packed_edge_layer (Ep,)
+            P(baxis, None),             # position (B, 2)
+            P(baxis),                   # rotation (B,)
+        ),
+        out_specs=P(baxis),
+        check_vma=False,
+    )(edges, emask, elayer, states.car.position, states.car.rotation)
 
 
 def rasterize_masks_sp(

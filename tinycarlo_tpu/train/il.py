@@ -102,6 +102,60 @@ def train_step(
     )
 
 
+def train_chunk(
+    state: ILState,
+    cfg: ILConfig,
+    key: jnp.ndarray,
+    data: Dict[str, jnp.ndarray],  # x (N,...) uint8, m (N,) int32, y (N,A)
+    n_steps: int,
+) -> Tuple[ILState, jnp.ndarray]:
+    """`n_steps` fused train steps over a device-resident dataset: batch
+    indices are drawn on-device and the uint8->float conversion happens
+    per batch inside the scan, so the host pays one dispatch per chunk
+    instead of one per step (the reference pays a host->GPU copy per step,
+    train_stanley_il.py:119-121). Returns (state, losses (n_steps,))."""
+    n = data["x"].shape[0]
+
+    def body(s, k):
+        idx = jax.random.randint(k, (cfg.batch_size,), 0, n)
+        batch = {
+            "x": pre_obs(data["x"][idx]),
+            "m": jax.nn.one_hot(data["m"][idx], cfg.maneuver_dim),
+            "y": data["y"][idx],
+        }
+        s, loss = train_step(s, cfg, batch)
+        return s, loss
+
+    return jax.lax.scan(body, state, jax.random.split(key, n_steps))
+
+
+def save_variables_npz(path: str, variables: Any) -> None:
+    """Flatten a flax variables pytree into a flat npz keyed by
+    '/'-joined paths (the framework's torch-free checkpoint format for
+    examples; Orbax in utils/checkpoint.py is the production path)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(jax.device_get(variables))
+    np.savez(
+        path,
+        **{
+            "/".join(str(getattr(k, "key", k)) for k in p): leaf
+            for p, leaf in flat
+        },
+    )
+
+
+def load_variables_npz(path: str) -> Any:
+    """Inverse of `save_variables_npz`: rebuild the nested dict pytree."""
+    out: Dict[str, Any] = {}
+    with np.load(path) as data:
+        for key in data.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    return out
+
+
 def randomize_camera(
     params: fenv.EnvParams, key: jnp.ndarray
 ) -> fenv.EnvParams:

@@ -20,7 +20,7 @@ Semantics kept from the reference loop:
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,13 @@ class LoopConfig:
     max_episode_steps: int = struct.field(pytree_node=False, default=1000)
     replay_size: int = struct.field(pytree_node=False, default=500_000)
     updates_per_step: int = struct.field(pytree_node=False, default=1)
+    # Observation dtype fed to the frozen encoder. None = the env's uint8
+    # contract (obs -> pre_obs /255). A float dtype (classes format only)
+    # makes the rasterizer emit 0/1 masks directly -- the obs never leaves
+    # the graph, so the uint8 materialization + /255 convert are skipped;
+    # identical encoder inputs (0/1 exact in bf16/f32). Ignored when the
+    # wrapper stack carries observation_fns (those are uint8-domain).
+    obs_dtype: Optional[Any] = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass
@@ -135,14 +142,24 @@ def chunk(
             ),
             "maneuver": jnp.where(s.maneuver != 2, s.maneuver, 3),
         }
+        use_float_obs = loop_cfg.obs_dtype is not None and not (
+            stack is not None and stack.observation_fns
+        )
         vstate, obs, rew, term, trunc, info = vector.step(
             params,
             s.vstate,
             env_action,
             stack=stack,
             max_episode_steps=loop_cfg.max_episode_steps,
-            render=True,
+            render=not use_float_obs,
         )
+        if use_float_obs:
+            # obs never reaches the host: render 0/1 masks in the encoder's
+            # dtype straight from the kernel (same post-auto-reset states
+            # vector.step would render)
+            obs = fenv.render_observation_batch(
+                params, vstate.env, out_dtype=loop_cfg.obs_dtype
+            )
         f = encoder_apply(obs).astype(s.queue.dtype)
         queue = jnp.roll(s.queue, 1, axis=1).at[:, 0].set(f)
         buf = rb.add_batch(
@@ -158,10 +175,21 @@ def chunk(
         )
 
         def do_update(td3_state):
-            batch = rb.sample(buf, k_sample, cfg.batch_size)
-            batch["m"] = jax.nn.one_hot(batch["m"], cfg.maneuver_dim)
-            batch["m1"] = batch["m"]
-            return td3.train_step(td3_state, cfg, batch)
+            # `updates_per_step` gradient steps per env-step (the reference
+            # does exactly one per single-env step, train_td3.py:201-203;
+            # at B parallel envs this knob restores the update:data ratio)
+            def upd(ts, k):
+                batch = rb.sample(buf, k, cfg.batch_size)
+                batch["m"] = jax.nn.one_hot(batch["m"], cfg.maneuver_dim)
+                batch["m1"] = batch["m"]
+                return td3.train_step(ts, cfg, batch)
+
+            losses = None
+            for i, k in enumerate(
+                jax.random.split(k_sample, loop_cfg.updates_per_step)
+            ):
+                td3_state, losses = upd(td3_state, k)
+            return td3_state, losses
 
         def skip(td3_state):
             z = jnp.zeros((), jnp.float32)
