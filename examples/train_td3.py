@@ -157,9 +157,10 @@ if __name__ == "__main__":
     tlog.save_rewards(OUT_DIR, rew_hist, sfx)
     tlog.save_series(OUT_DIR, "cte", cte_hist, sfx)
     import numpy as _np
-    dist = _np.asarray(dist_hist)  # (steps, L)
-    for li, lname in enumerate(params.map_data.laneline_names):
-        tlog.save_series(OUT_DIR, lname, dist[:, li], sfx)
+    if dist_hist:
+        dist = _np.asarray(dist_hist)  # (steps, L)
+        for li, lname in enumerate(params.map_data.laneline_names):
+            tlog.save_series(OUT_DIR, lname, dist[:, li], sfx)
     for net in ("actor", "critic1", "critic2"):
         tlog.save_weight_changes(
             OUT_DIR, net, tlog.weight_changes(w_hist[net]),

@@ -14,6 +14,7 @@ setup(
     long_description_content_type="text/markdown",
     license="MIT",
     packages=find_packages(include=["tinycarlo_tpu", "tinycarlo_tpu.*"]),
+    package_data={"tinycarlo_tpu.models": ["pretrained/*.npz"]},
     python_requires=">=3.10",
     install_requires=[
         "jax>=0.4.30",

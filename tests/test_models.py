@@ -132,3 +132,20 @@ def test_torch_checkpoint_import_roundtrip():
     x_nhwc = jnp.asarray(np.transpose(x_chw, (0, 2, 3, 1)))
     ours = np.asarray(model.apply(variables, x_nhwc, jnp.asarray(m)))
     np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_bundled_pretrained_combo_loads():
+    """The package ships a combo trained by its own IL pipeline
+    (docs/TRAINING.md); load_pretrained falls back to it offline."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinycarlo_tpu.models import TinycarCombo, load_pretrained, pre_obs
+
+    v = load_pretrained((3, 128, 160))
+    assert v is not None
+    assert "encoder" in v["params"] and "actor" in v["params"]
+    out = TinycarCombo().apply(
+        v, pre_obs(jnp.zeros((2, 128, 160, 3), jnp.uint8)), jnp.eye(3)[:2]
+    )
+    assert out.shape == (2, 1)

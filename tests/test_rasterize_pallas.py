@@ -82,15 +82,21 @@ def test_compact_no_limit_keeps_all_slots():
 
 
 def _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, thickness):
-    """Pixels exactly on the stroke boundary (d2 == r2 up to one ulp) may
-    differ between compilations (FMA/fusion order); everything else must
-    match bit-for-bit."""
+    """Pixels exactly on a stroke boundary (lateral or cap radius, or the
+    body/cap seam where the projection parameter sits on 0/1) may differ
+    between compilations (FMA/fusion/reciprocal rounding); everything
+    else must match bit-for-bit. Thickness 1 (exact Bresenham in both
+    implementations) must match everywhere."""
     got, expected = np.asarray(got), np.asarray(expected)
     diff = np.argwhere(got != expected)
     if len(diff) == 0:
         return
+    assert thickness > 1, f"t=1 must be exact; differs at {diff[:5]}"
     a, b = ras._int_endpoints(p0, p1, jnp.float32)
-    r2 = ras._stroke_radius_sq(thickness)
+    lat, cap = ras._split_radii(thickness)
+    lat2, cap2 = lat * lat, cap * cap
+    ax, ay = np.asarray(a[..., 0]), np.asarray(a[..., 1])
+    bx, by = np.asarray(b[..., 0]), np.asarray(b[..., 1])
     for l, y, x in diff:
         d2 = np.asarray(
             ras._segment_dist_sq(
@@ -98,8 +104,19 @@ def _assert_equal_up_to_stroke_boundary(got, expected, p0, p1, draw, thickness):
                 a[l, :, 0], a[l, :, 1], b[l, :, 0], b[l, :, 1],
             )
         )
+        abx, aby = bx[l] - ax[l], by[l] - ay[l]
+        denom = np.maximum(abx * abx + aby * aby, 1.0)
+        tu = ((x - ax[l]) * abx + (y - ay[l]) * aby) / denom
         drawn = np.asarray(draw[l])
-        assert np.any(np.abs(d2[drawn] - r2) < 1e-3), (
+        on_radius = (np.abs(d2 - lat2) < 1e-3) | (np.abs(d2 - cap2) < 1e-3)
+        # body/cap seam: the projection parameter sits on 0/1 to within
+        # reciprocal rounding while the pixel lies between the two radii
+        seam = (
+            (np.minimum(np.abs(tu), np.abs(tu - 1.0)) < 1e-5)
+            & (d2 >= cap2 - 1e-3)
+            & (d2 <= lat2 + 1e-3)
+        )
+        assert np.any((on_radius | seam) & drawn), (
             f"non-boundary pixel differs at {(l, y, x)}"
         )
     assert len(diff) < got.size * 0.005, "too many boundary diffs"
@@ -184,14 +201,21 @@ def test_max_visible_oversubscribed_short_first():
     got = rasterize_masks_pallas(p0, p1, draw, (H, W), 1, max_visible=k, interpret=True)
     from tinycarlo_tpu.ops.rasterize_pallas import _NB_PACK, _window_rows, compact_soa
 
-    soa = compact_soa(p0[None], p1[None], draw[None], k, 8, H, 1)
+    soa = compact_soa(p0[None], p1[None], draw[None], k, 8, H, 1, w=W)
     ax, ay = np.asarray(soa[0])[0, 0], np.asarray(soa[1])[0, 0]
-    # reconstruct which originals were kept (endpoint match) and compare
+    # reconstruct which originals were kept: t=1 SoA endpoints are the
+    # CLIPPED, anchor-normalized ints (rasterize_pallas._clip_normalize_t1)
+    from tinycarlo_tpu.ops.rasterize_pallas import _clip_normalize_t1
+
     a, b = ras._int_endpoints(p0, p1, jnp.float32)
+    cax, cay, _, _, _ = _clip_normalize_t1(
+        W, H, a[..., 0], a[..., 1], b[..., 0], b[..., 1], draw
+    )
+    cax, cay = np.asarray(cax), np.asarray(cay)
     kept = np.zeros(E, bool)
     for s in range(k):
         for e in range(E):
-            if not kept[e] and a[0, e, 0] == ax[s] and a[0, e, 1] == ay[s]:
+            if not kept[e] and cax[0, e] == ax[s] and cay[0, e] == ay[s]:
                 kept[e] = True
                 break
     assert kept.sum() == k
@@ -286,7 +310,9 @@ def test_packed_oversubscription_keeps_shorts():
     p1 = jnp.asarray(p0 + rng.uniform(-4, 4, (1, 1, E, 2)), jnp.float32)
     draw = jnp.ones((1, 1, E), bool)
     lay = jnp.zeros((E,), jnp.int32)
-    soa = compact_env_soa(p0, p1, draw, k, 8, H, 1, edge_layer=lay, n_layers=1)
+    soa = compact_env_soa(
+        p0, p1, draw, k, 8, H, 1, edge_layer=lay, n_layers=1, w=W
+    )
     counts = np.asarray(soa[-1])
     assert counts[0, 0] == k  # live slots filled to the budget
     assert counts[1, 0] <= k  # short count within budget

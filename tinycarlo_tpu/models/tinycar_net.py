@@ -345,27 +345,40 @@ def load_pretrained(
     action_dim: int = DEFAULT_A_DIM,
     cache_dir: str = "/tmp",
 ):
-    """Fetch/convert the reference pretrained combo for `image_dim`.
-    Returns flax variables or None (no URL match / no network / no torch),
-    mirroring the reference's bool return (tinycar_net.py:113-129)."""
-    if (
-        image_dim not in model_urls
-        or maneuver_dim != DEFAULT_M_DIM
-        or action_dim != DEFAULT_A_DIM
-    ):
+    """Load a pretrained combo for `image_dim`: the reference torch
+    checkpoint (download + convert, mirroring reference
+    tinycar_net.py:113-129) when reachable, else the combo bundled with
+    this package (trained by examples/train_stanley_il.py on the
+    framework itself; curve in docs/TRAINING.md). Returns flax variables
+    or None."""
+    if maneuver_dim != DEFAULT_M_DIM or action_dim != DEFAULT_A_DIM:
         print(
             f"No pretrained weights found for image_dim: {image_dim}, "
             f"maneuver_dim: {maneuver_dim}, action_dim: {action_dim}"
         )
         return None
-    url = model_urls[image_dim]
-    cached = os.path.join(cache_dir, os.path.basename(url))
-    if not os.path.exists(cached):
-        try:
-            import urllib.request
+    if image_dim in model_urls:
+        url = model_urls[image_dim]
+        cached = os.path.join(cache_dir, os.path.basename(url))
+        if not os.path.exists(cached):
+            try:
+                import urllib.request
 
-            urllib.request.urlretrieve(url, cached)
-        except Exception as e:  # no egress / offline
-            print(f"Could not download pretrained weights: {e}")
-            return None
-    return load_torch_state_dict(cached)
+                urllib.request.urlretrieve(url, cached)
+            except Exception as e:  # no egress / offline
+                print(f"Could not download pretrained weights: {e}")
+                cached = None
+        if cached is not None and os.path.exists(cached):
+            return load_torch_state_dict(cached)
+    bundled = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "pretrained",
+        "tinycar_combo_flax_{}_{}_{}.npz".format(*image_dim),
+    )
+    if os.path.exists(bundled):
+        from tinycarlo_tpu.train.il import load_variables_npz
+
+        print(f"loaded bundled pretrained combo: {bundled}")
+        return load_variables_npz(bundled)
+    print(f"No pretrained weights found for image_dim: {image_dim}")
+    return None

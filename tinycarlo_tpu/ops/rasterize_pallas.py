@@ -43,7 +43,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tinycarlo_tpu.ops.rasterize import _int_endpoints, _stroke_radius_sq
+from tinycarlo_tpu.ops.rasterize import (
+    _clip_line_cv2,
+    _int_endpoints,
+    _split_radii,
+    _stroke_radius_sq,
+)
 
 # Packed band word: bw = b0c * _NB_PACK + nb. Requires ceil(h/gran) <
 # _NB_PACK, i.e. h < 4096 rows at gran=8 -- far above any camera frame.
@@ -87,6 +92,89 @@ def _window_rows(gran: int, h: int) -> Tuple[int, int, int]:
     return n_bands, hp, win
 
 
+
+def _stroke_params(thickness: int):
+    """Static stroke descriptor threaded into the kernels' window stamps
+    (replacing the old scalar r2): ("bres",) for thickness 1 (exact cv2
+    Bresenham on clipped anchors, see rasterize._bresenham_hit) or
+    ("split", lat2, cap2) for t >= 2 (calibrated rectangle-body +
+    end-cap stroke, rasterize._split_radii)."""
+    if thickness <= 1:
+        return ("bres",)
+    lat, cap = _split_radii(thickness)
+    return ("split", float(lat * lat), float(cap * cap))
+
+
+def _window_hit(apx, apy, abx, aby, inv, live, stroke):
+    """Shared per-window hit predicate over pixel-relative coords
+    (apx, apy) and per-slot scalars. For ("split", lat2, cap2): squared
+    distance to the segment against the lateral radius inside the body
+    and the cap radius beyond the endpoints; `live` rides in the compare
+    constants (dead slots satisfy nothing). For ("bres",): the closed
+    form of cv2's 8-connected LineIterator on compaction-clipped,
+    anchor-normalized endpoints (abx = dx >= 0, aby = signed minor
+    delta, inv = 1/(2*maj)); bit-equal to rasterize._bresenham_hit --
+    all intermediate values are integer-valued f32 < 2^24 after
+    clipping, with a residual correction keeping the floor division
+    exact."""
+    if stroke[0] == "bres":
+        ady = jnp.abs(aby)
+        sy = jnp.where(aby >= 0.0, 1.0, -1.0)
+        xmaj = abx >= ady
+        maj = jnp.maximum(abx, ady)
+        mino = jnp.minimum(abx, ady)
+        step = jnp.where(xmaj, apx, sy * apy)
+        num = 2.0 * mino * step + (maj - 1.0)
+        q = jnp.floor(num * inv)
+        r = num - q * (2.0 * maj)
+        q = q + (r >= 2.0 * maj).astype(jnp.float32) - (r < 0.0).astype(
+            jnp.float32
+        )
+        probe = jnp.where(xmaj, apy, apx)
+        target = jnp.where(xmaj, sy * q, q)
+        hit = (step >= 0.0) & (step <= maj) & (probe == target)
+        hit = jnp.where(maj == 0.0, (apx == 0.0) & (apy == 0.0), hit)
+        return hit & live
+    _, lat2, cap2 = stroke
+    tu = (apx * abx + apy * aby) * inv
+    t = jnp.clip(tu, 0.0, 1.0)
+    dx = apx - t * abx
+    dy = apy - t * aby
+    d2 = dx * dx + dy * dy
+    r2v = jnp.where(
+        (tu >= 0.0) & (tu <= 1.0),
+        jnp.where(live, lat2, -1.0),
+        jnp.where(live, cap2, -1.0),
+    )
+    return d2 <= r2v
+
+
+def _clip_normalize_t1(w, h, ax0, ay0, bx0, by0, draw):
+    """Thickness-1 endpoint preparation shared by the compactions:
+    cv2-exact clipLine (rejected lines stop drawing) + anchor
+    normalization to the smaller-x endpoint (cv2 LineIterator's
+    leftToRight), so the kernels' Bresenham stamp needs no swap."""
+    assert w is not None, "thickness-1 compaction needs the frame width"
+    ax0, ay0, bx0, by0, acc = _clip_line_cv2(w, h, ax0, ay0, bx0, by0)
+    draw = draw & acc
+    swap = bx0 < ax0
+    nax = jnp.where(swap, bx0, ax0)
+    nbx = jnp.where(swap, ax0, bx0)
+    nay = jnp.where(swap, by0, ay0)
+    nby = jnp.where(swap, ay0, by0)
+    return nax, nay, nbx, nby, draw
+
+
+def _inv_for(abx, aby, thickness):
+    """Per-slot `inv` scalar: 1/len^2 for the distance stroke, 1/(2*maj)
+    for the t=1 Bresenham stamp."""
+    if thickness <= 1:
+        maj = jnp.maximum(jnp.abs(abx), jnp.abs(aby))
+        return 1.0 / jnp.where(maj == 0.0, 1.0, 2.0 * maj)
+    denom = abx * abx + aby * aby
+    return 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+
+
 def compact_soa(
     p0: jnp.ndarray,  # (B, L, E, 2) float pixel coords
     p1: jnp.ndarray,
@@ -95,8 +183,10 @@ def compact_soa(
     gran: int,
     h: int,
     thickness: int,
+    w: Optional[int] = None,
 ):
     """Compact drawn segments into k slots, split into scalar-friendly SoA.
+    `w` (frame width) is required at thickness 1 for the cv2 clip.
 
     Returns (ax, ay, abx, aby, inv, bw, counts): per-slot f32 endpoint /
     direction / 1/len^2 arrays of shape (B, L, k), a packed int32 band
@@ -133,6 +223,10 @@ def compact_soa(
     a, b = _int_endpoints(p0, p1, jnp.float32)
     bsz, nl, e, _ = a.shape
     ax0, ay0, bx0, by0 = a[..., 0], a[..., 1], b[..., 0], b[..., 1]
+    if thickness <= 1:
+        ax0, ay0, bx0, by0, draw = _clip_normalize_t1(
+            w, h, ax0, ay0, bx0, by0, draw
+        )
 
     rf = float(_stroke_radius_sq(thickness)) ** 0.5
     n_bands, hp, win = _window_rows(gran, h)
@@ -181,8 +275,7 @@ def compact_soa(
     ax, ay, bx, by = comp[..., 0], comp[..., 1], comp[..., 2], comp[..., 3]
     bw = comp[..., 4].astype(jnp.int32)
     abx, aby = bx - ax, by - ay
-    denom = abx * abx + aby * aby
-    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+    inv = _inv_for(abx, aby, thickness)
 
     if ax.shape[-1] % 2:
         # Pad the slot axis to even so the pair-unrolled kernel can
@@ -260,10 +353,7 @@ def _kernel(
             ysf = ys0 + y0.astype(jnp.float32)
             apx = xs - ax
             apy = ysf - ay
-            t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
-            dx = apx - t * abx
-            dy = apy - t * aby
-            hit = ((dx * dx + dy * dy) <= r2) & (nb > 0)
+            hit = _window_hit(apx, apy, abx, aby, inv, nb > 0, r2)
             cur = scratch[pl.ds(y0, win), :]
             scratch[pl.ds(y0, win), :] = jnp.where(hit, 255.0, cur)
             return ax, ay, abx, aby, inv, b0c, nb
@@ -283,10 +373,7 @@ def _kernel(
                 tysf = ys_t + ty0.astype(jnp.float32)
                 tapx = xs_t - ax
                 tapy = tysf - ay
-                tt = jnp.clip((tapx * abx + tapy * aby) * inv, 0.0, 1.0)
-                tdx = tapx - tt * abx
-                tdy = tapy - tt * aby
-                thit = (tdx * tdx + tdy * tdy) <= r2
+                thit = _window_hit(tapx, tapy, abx, aby, inv, True, r2)
                 tcur = scratch[pl.ds(ty0, gran), :]
                 scratch[pl.ds(ty0, gran), :] = jnp.where(thit, 255.0, tcur)
                 return 0
@@ -339,7 +426,7 @@ def rasterize_compact_soa(
     h, w = resolution
     bsz, nl, k = ax.shape
     _, hp, win = _window_rows(gran, h)
-    r2 = float(_stroke_radius_sq(thickness))
+    r2 = _stroke_params(thickness)
     kernel = functools.partial(
         _kernel,
         n_layers=nl,
@@ -426,6 +513,10 @@ def compact_env_soa(
     a, b = _int_endpoints(p0, p1, jnp.float32)
     bsz, nl, e, _ = a.shape
     ax0, ay0, bx0, by0 = a[..., 0], a[..., 1], b[..., 0], b[..., 1]
+    if thickness <= 1:
+        ax0, ay0, bx0, by0, draw = _clip_normalize_t1(
+            w, h, ax0, ay0, bx0, by0, draw
+        )
 
     rf = float(_stroke_radius_sq(thickness)) ** 0.5
     n_bands, hp, win = _window_rows(gran, h)
@@ -512,8 +603,7 @@ def compact_env_soa(
     ax, ay, bx, by = comp[..., 0], comp[..., 1], comp[..., 2], comp[..., 3]
     bw = comp[..., 4].astype(jnp.int32)
     abx, aby = bx - ax, by - ay
-    denom = abx * abx + aby * aby
-    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+    inv = _inv_for(abx, aby, thickness)
 
     if ax.shape[-1] % 2:
         pad = [(0, 0), (0, 1)]
@@ -592,10 +682,7 @@ def _kernel_env(
             ysf = ys0 + y0.astype(jnp.float32)
             apx = xs - ax
             apy = ysf - ay
-            t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
-            dx = apx - t * abx
-            dy = apy - t * aby
-            hit = ((dx * dx + dy * dy) <= r2) & (nb > 0)
+            hit = _window_hit(apx, apy, abx, aby, inv, nb > 0, r2)
             cur = scratch[pl.ds(y0, win), :]
             scratch[pl.ds(y0, win), :] = jnp.where(hit, 255.0, cur)
             return ax, ay, abx, aby, inv, b0c, nb
@@ -615,10 +702,7 @@ def _kernel_env(
                 tysf = ys_t + ty0.astype(jnp.float32)
                 tapx = xs_t - ax
                 tapy = tysf - ay
-                tt = jnp.clip((tapx * abx + tapy * aby) * inv, 0.0, 1.0)
-                tdx = tapx - tt * abx
-                tdy = tapy - tt * aby
-                thit = (tdx * tdx + tdy * tdy) <= r2
+                thit = _window_hit(tapx, tapy, abx, aby, inv, True, r2)
                 tcur = scratch[pl.ds(ty0, gran), :]
                 scratch[pl.ds(ty0, gran), :] = jnp.where(thit, 255.0, tcur)
                 return 0
@@ -666,7 +750,7 @@ def rasterize_compact_env_soa(
     bsz, k = ax.shape
     _, hp, win = _window_rows(gran, h)
     nxb = _n_xblocks(w) if split else 1
-    r2 = float(_stroke_radius_sq(thickness))
+    r2 = _stroke_params(thickness)
     kernel = functools.partial(
         _kernel_env,
         n_layers=n_layers,
@@ -780,6 +864,10 @@ def compact_env_idx_soa(
         return jnp.clip(x, -lim, lim).astype(jnp.int32).astype(jnp.float32)
 
     ax0, ay0, bx0, by0 = icast(u0), icast(v0), icast(u1), icast(v1)
+    if thickness <= 1:
+        ax0, ay0, bx0, by0, draw = _clip_normalize_t1(
+            w, h, ax0, ay0, bx0, by0, draw
+        )
     bsz, nl, e = ax0.shape
 
     rf = float(_stroke_radius_sq(thickness)) ** 0.5
@@ -841,8 +929,7 @@ def compact_env_idx_soa(
     tall = flat(nb > win // gran)
 
     abx, aby = bx0 - ax0, by0 - ay0
-    denom = abx * abx + aby * aby
-    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+    inv = _inv_for(abx, aby, thickness)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (bsz, le), 1)
     if one_tier:
@@ -963,6 +1050,10 @@ def compact_env_seg(
         return jnp.clip(x, -lim, lim).astype(jnp.int32).astype(jnp.float32)
 
     ax0, ay0, bx0, by0 = icast(u0), icast(v0), icast(u1), icast(v1)
+    if thickness <= 1:
+        ax0, ay0, bx0, by0, draw = _clip_normalize_t1(
+            w, h, ax0, ay0, bx0, by0, draw
+        )
     bsz, nl, e = ax0.shape
 
     rf = float(_stroke_radius_sq(thickness)) ** 0.5
@@ -1002,8 +1093,7 @@ def compact_env_seg(
     nb = jnp.where(bits > 0, nb, 0)  # fully x-clipped: cull like y-clip
 
     abx, aby = bx0 - ax0, by0 - ay0
-    denom = abx * abx + aby * aby
-    inv = 1.0 / jnp.where(denom == 0.0, 1.0, denom)
+    inv = _inv_for(abx, aby, thickness)
     # layer strip base rides in ay (the xb*hp part is added in-kernel);
     # aby was computed from the raw coords so the fold cancels nowhere
     ay0 = ay0 + (lay * (nxb * hp)).astype(jnp.float32)
@@ -1081,13 +1171,9 @@ def _tier_loops_seg(load, scratch, n, n_short, wb, r2, gran, win,
 
     def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live):
         ay = ay - y0.astype(jnp.float32)
-        r2eff = jnp.where(live, r2, -1.0)
         apx = xs - ax
         apy = ys - ay
-        t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
-        dx = apx - t * abx
-        dy = apy - t * aby
-        hit = (dx * dx + dy * dy) <= r2eff
+        hit = _window_hit(apx, apy, abx, aby, inv, live, r2)
         pltpu.store(
             scratch.at[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])],
             jnp.full((rows, scratch.shape[-1]), 255.0, jnp.float32),
@@ -1247,7 +1333,7 @@ def rasterize_env_seg(
     kp = idx.shape[-1]
     n_bands, hp, win = _window_rows(gran, h)
     nxb = _n_xblocks(w) if split else 1
-    r2 = float(_stroke_radius_sq(thickness))
+    r2 = _stroke_params(thickness)
     kernel = functools.partial(
         _kernel_env_seg,
         n_layers=n_layers,
@@ -1311,13 +1397,9 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         # offset rides in ay, and the live check rides in the compare
         # constant (dead slots get r2 = -1, which nothing satisfies)
         ay = ay - y0.astype(jnp.float32)
-        r2eff = jnp.where(live, r2, -1.0)
         apx = xs - ax
         apy = ys - ay
-        t = jnp.clip((apx * abx + apy * aby) * inv, 0.0, 1.0)
-        dx = apx - t * abx
-        dy = apy - t * aby
-        hit = (dx * dx + dy * dy) <= r2eff
+        hit = _window_hit(apx, apy, abx, aby, inv, live, r2)
         # The lane slice start is y0 * 0 rather than a literal 0: a
         # Python-int start lowers to int64 under x64 (interpret-mode
         # tests) and dynamic_slice rejects mixed index dtypes; deriving
@@ -1533,7 +1615,7 @@ def rasterize_env_idx(
     assert bsz % group == 0, "batch must divide by the env group size"
     _, hp, win = _window_rows(gran, h)
     nxb = _n_xblocks(w) if split else 1
-    r2 = float(_stroke_radius_sq(thickness))
+    r2 = _stroke_params(thickness)
     out_dtype = jnp.dtype(out_dtype)
     kernel = functools.partial(
         _kernel_env_idx,
@@ -1739,7 +1821,7 @@ def rasterize_env_dma(
     _, hp, win = _window_rows(gran, h)
     nxb = _n_xblocks(w) if split else 1
     wp = nxb * _XB if nxb > 1 else max(w, _XB)
-    r2 = float(_stroke_radius_sq(thickness))
+    r2 = _stroke_params(thickness)
     kernel = functools.partial(
         _kernel_env_dma,
         n_layers=n_layers,
