@@ -108,9 +108,12 @@ def measure_ours():
 
     @jax.jit
     def rollout(vstate, info):
+        # unroll=4: lets XLA overlap one step's rasterize-kernel output
+        # DMA with the next step's car/info fusions (measured +3.7%,
+        # benchmarks/exp_r3c.py unroll probe)
         (vstate, info, checksum), rews = jax.lax.scan(
             body, (vstate, info, jnp.zeros((), jnp.uint32)), None,
-            length=CHUNK,
+            length=CHUNK, unroll=4,
         )
         return vstate, info, checksum, rews
 

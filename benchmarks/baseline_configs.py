@@ -130,7 +130,7 @@ def config3():
     def rollout(vstate):
         (vstate, checksum), _ = jax.lax.scan(
             body, (vstate, jnp.zeros((), jnp.uint32)),
-            jnp.arange(20, dtype=jnp.int32))
+            jnp.arange(20, dtype=jnp.int32), unroll=4)
         return vstate, checksum
 
     vstate, _ = vector.reset(params, jax.random.key(0), n_envs, render=False)
