@@ -69,21 +69,23 @@ if __name__ == "__main__":
     )
     stack = standard_stack()  # same shaping as train_td3.py:60-62
 
-    # frozen encoder, in preference order: the reference's pretrained combo
-    # (download; reference tinycar_net.py:113-129), an IL-trained combo
-    # from examples/train_stanley_il.py (IL_MODEL), fresh init.
+    # frozen encoder, in preference order: the user's own IL-trained combo
+    # from examples/train_stanley_il.py (IL_MODEL, explicit user intent),
+    # then load_pretrained (reference download -> package-bundled combo),
+    # then fresh init.
     enc = TinycarEncoder()
     obs_shape = fenv.observation_shape(params)
-    pretrained = load_pretrained(tuple(obs_shape))
-    if pretrained is None:
-        il_model = os.environ.get("IL_MODEL", "/tmp/tinycar_combo_flax.npz")
-        if os.path.exists(il_model):
-            from tinycarlo_tpu.train.il import load_variables_npz
+    pretrained = None
+    il_model = os.environ.get("IL_MODEL", "/tmp/tinycar_combo_flax.npz")
+    if os.path.exists(il_model):
+        from tinycarlo_tpu.train.il import load_variables_npz
 
-            pretrained = load_variables_npz(il_model)
-            print(f"loaded IL-trained combo from {il_model}")
-    else:
-        print("loaded pretrained encoder")
+        pretrained = load_variables_npz(il_model)
+        print(f"loaded IL-trained combo from {il_model}")
+    if pretrained is None:
+        pretrained = load_pretrained(tuple(obs_shape))
+        if pretrained is not None:
+            print("loaded pretrained encoder")
     if pretrained is not None:
         enc_vars = {
             "params": pretrained["params"]["encoder"],

@@ -90,6 +90,7 @@ _SLOW_TESTS = {
         "test_fused_chunk",
         "test_sigma_per_episode",
         "test_float_obs_path_matches_uint8",
+        "test_updates_per_step_zero_collect_only",
     },
     "test_car_parity.py": {
         "test_info_parity",

@@ -137,3 +137,27 @@ def test_float_obs_path_matches_uint8(params):
     np.testing.assert_array_equal(
         np.asarray(states[0].queue), np.asarray(states[1].queue)
     )
+
+
+def test_updates_per_step_zero_collect_only(params):
+    """--updates 0: rollout-only collection, losses all zero, no crash."""
+    cfg = td3.TD3Config(seq_len=3, batch_size=8)
+    loop_cfg = LoopConfig(
+        replay_size=64, max_episode_steps=50, updates_per_step=0
+    )
+
+    def encoder_apply(obs):
+        x = obs.astype(jnp.float32)
+        f = x.reshape(x.shape[0], -1)
+        pad = 256 - (f.shape[1] % 256)
+        f = jnp.pad(f, ((0, 0), (0, pad)))
+        return f.reshape(x.shape[0], -1, 256).mean(axis=1)
+
+    state = init_loop(params, cfg, loop_cfg, jax.random.key(0), B)
+    run = jax.jit(
+        partial(chunk, params=params, cfg=cfg, loop_cfg=loop_cfg,
+                encoder_apply=encoder_apply, n_steps=3)
+    )
+    state, out = run(state)
+    assert int(state.buf.filled) == 3 * B
+    assert np.all(np.asarray(out["critic1_loss"]) == 0.0)

@@ -369,7 +369,13 @@ def load_pretrained(
                 print(f"Could not download pretrained weights: {e}")
                 cached = None
         if cached is not None and os.path.exists(cached):
-            return load_torch_state_dict(cached)
+            try:
+                return load_torch_state_dict(cached)
+            except Exception as e:  # no torch / corrupt partial download
+                print(
+                    f"Could not convert torch checkpoint {cached}: {e}; "
+                    "falling back to the bundled combo"
+                )
     bundled = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "pretrained",

@@ -1899,6 +1899,12 @@ def segment_overflow(
         p0, p1, draw = p0[:, None], p1[:, None], draw[:, None]
     a, b = _int_endpoints(p0, p1, jnp.float32)
     ax0, ay0, bx0, by0 = a[..., 0], a[..., 1], b[..., 0], b[..., 1]
+    if thickness <= 1:
+        # the compactions clip at t=1 (cv2 semantics), shrinking extents;
+        # mirror it so the overflow count matches their eligibility
+        ax0, ay0, bx0, by0, draw = _clip_normalize_t1(
+            w, h, ax0, ay0, bx0, by0, draw
+        )
     rf = float(_stroke_radius_sq(thickness)) ** 0.5
     ylo = jnp.minimum(ay0, by0) - rf
     yhi = jnp.maximum(ay0, by0) + rf

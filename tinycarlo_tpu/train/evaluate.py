@@ -91,17 +91,15 @@ def evaluate(
         )
         if sequential:
             # reference benchmark_tinycar_net.py:63-65: a fresh episode
-            # starts every `steps` iterations regardless of termination
-            fresh, _ = vector.reset(
-                params, jax.random.fold_in(key, 2), B, stack=stack,
-                render=False,
-            )
-            force = (i % steps) == 0
-            vstate = jax.tree.map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(force, (1,) * old.ndim), new, old
-                ),
-                fresh,
+            # starts every `steps` iterations regardless of termination;
+            # the cond keeps the respawn compute off the other steps
+            vstate = jax.lax.cond(
+                (i % steps) == 0,
+                lambda vs: vector.reset(
+                    params, jax.random.fold_in(key, 2), B, stack=stack,
+                    render=False,
+                )[0],
+                lambda vs: vs,
                 vstate,
             )
         out = {
@@ -140,12 +138,12 @@ def evaluate(
         )
 
     # compile outside the clock, then measure (reference measures inference
-    # time per step; we measure the whole fused rollout)
-    _ = jax.block_until_ready(run(jax.random.key(seed), carry_init, 2))
+    # time per step; we measure the whole fused rollout). `n` is a static
+    # arg, so the warmup must compile the ACTUAL n_steps program -- AOT
+    # lower/compile does that without executing a throwaway rollout.
+    compiled = run.lower(jax.random.key(seed), carry_init, n_steps).compile()
     st = time.perf_counter()
-    traj = jax.block_until_ready(
-        run(jax.random.key(seed), carry_init, n_steps)
-    )
+    traj = jax.block_until_ready(compiled(jax.random.key(seed), carry_init))
     wall = time.perf_counter() - st
 
     cte = np.asarray(traj["cte"]).reshape(-1)

@@ -199,9 +199,12 @@ def chunk(
                 "actor_loss": z,
             }
 
-        td3_state, losses = jax.lax.cond(
-            buf.filled >= cfg.batch_size, do_update, skip, s.td3_state
-        )
+        if loop_cfg.updates_per_step > 0:
+            td3_state, losses = jax.lax.cond(
+                buf.filled >= cfg.batch_size, do_update, skip, s.td3_state
+            )
+        else:  # rollout-only collection (e.g. --updates 0)
+            td3_state, losses = skip(s.td3_state)
 
         done = term | trunc
         noise = jnp.where(done[:, None], 0.0, noise)
