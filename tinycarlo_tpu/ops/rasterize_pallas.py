@@ -1997,13 +1997,29 @@ def rasterize_masks_packed_pallas_soa(
     # 4096-env reference workload after the round-3 split-stroke rework
     # (6.83 vs 7.11 ms proj+compact+kernel, exp_r3c `dma` probe) -- its
     # grouped staging slabs overlap output copies under window compute.
-    # Constraints: uint8 output only, batch divisible by the group, h a
-    # multiple of 8 (hardware DMA slicing); otherwise the blocked idx
-    # path serves.
+    # The group is bounded by the kernel's SMEM footprint (double-
+    # buffered (group, 1, LE) windows per SoA input; 1 MiB SMEM total --
+    # knuffingen's LE=3720 overflows at group 8, caught by baseline
+    # config 3). Constraints: uint8 output only, batch divisible by the
+    # group, h a multiple of 8 (DMA slicing); otherwise the blocked idx
+    # path serves. TINYCARLO_OUT=idx forces the old path.
+    le = soa[1].shape[-1]
+    kp = soa[0].shape[-1]
     group = 8
+    while group > 1 and (
+        bsz % group or 2 * group * (kp + 6 * le) * 4 > 512 * 1024
+    ):
+        group //= 2
+    # The dma kernel only wins in the many-small-frames regime where a
+    # large group amortizes its staging copies (group 8 at 128x160:
+    # 6.83 vs 7.11 ms). When SMEM caps the group low (big maps/frames --
+    # knuffingen's LE=3720 allows only group 2) it LOSES: 96.3k vs the
+    # idx path's 107.1k env-steps/s at 480x640, interleaved A/B. Gate on
+    # group >= 4.
     use_dma = (
         jnp.dtype(out_dtype) == jnp.uint8
         and bsz % group == 0
+        and group >= 4
         and h % 8 == 0
         and os.environ.get("TINYCARLO_OUT", "dma") == "dma"
     )
