@@ -4,7 +4,9 @@ Equivalent of the reference's examples/benchmark_tinycar_net.py __main__
 (:78-97): load pretrained (or a provided flax npz), evaluate per maneuver
 with the standard CTE wrapper stack, print the metric line. Env flags
 match the reference: ACTOR=1 swaps a provided actor into the pretrained
-combo, TEMPORAL=1 uses the temporal actor (:17-18).
+combo, TEMPORAL=1 uses the temporal actor (:17-18). SEQUENTIAL=1 runs
+the strict-parity sequential-episode mode (reference :46-65 semantics)
+instead of the default parallel batch.
 """
 import os
 import sys
@@ -82,10 +84,17 @@ if __name__ == "__main__":
         pol = combo_policy(model, variables)
         carry = None
 
+    # SEQUENTIAL=1: the strict-parity mode reproducing the reference's
+    # episode semantics exactly (benchmark_tinycar_net.py:46-65) -- one
+    # env, steps*episodes sequential iterations; default is the parallel
+    # batch (equivalent in expectation, maximally fast)
+    sequential = getenv("SEQUENTIAL")
     for maneuver in range(3):
         r = evaluate_fn(
-            pol, params, maneuver=maneuver, carry_init=carry,
-            steps=1000, episodes=5, seed=ENV_SEED,
+            pol, params, maneuver=maneuver,
+            carry_init=(carry[:1] if sequential and carry is not None
+                        else carry),
+            steps=1000, episodes=5, seed=ENV_SEED, sequential=sequential,
         )
         np.save(f"/tmp/positions_m{maneuver}.npy", r["positions"])
         print(

@@ -357,6 +357,9 @@ def load_pretrained(
             f"maneuver_dim: {maneuver_dim}, action_dim: {action_dim}"
         )
         return None
+    if len(image_dim) == 3 and image_dim[-1] in (1, 3):
+        # (H, W, C) rgb observation shape -> the (C, H, W) catalog key
+        image_dim = (image_dim[2], image_dim[0], image_dim[1])
     if image_dim in model_urls:
         url = model_urls[image_dim]
         cached = os.path.join(cache_dir, os.path.basename(url))
