@@ -74,6 +74,7 @@ _SLOW_TESTS = {
         "test_packed_auto_cpu_dispatch",
         "test_packed_matches_per_layer",
         "test_segment_overflow_counts",
+        "test_rank_kernel_rgb_equals_mask_composite",
     },
     "test_checkpoint.py": {
         "test_td3_state_roundtrip",

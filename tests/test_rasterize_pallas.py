@@ -559,3 +559,44 @@ def test_render_observation_batch_out_dtype():
     np.testing.assert_array_equal(
         np.asarray(f32), (np.asarray(u8) > 0).astype(np.float32)
     )
+
+
+def test_rank_kernel_rgb_equals_mask_composite():
+    """The rank kernel + palette composite produces the identical rgb
+    frame to the per-layer masks + paint-order composite (the rgb fast
+    path, docs/KERNELS.md rank-kernel note), including overlapping
+    layers, lane-split widths, and empty envs."""
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        rasterize_masks_packed_pallas_soa,
+        rasterize_rank_packed_soa,
+    )
+
+    rng = np.random.default_rng(23)
+    B, E, H, W, L = 4, 30, 32, 160, 3
+    u0 = jnp.asarray(rng.uniform(-5, W + 5, (B, E)), jnp.float32)
+    v0 = jnp.asarray(rng.uniform(-5, H + 5, (B, E)), jnp.float32)
+    u1 = u0 + jnp.asarray(rng.uniform(-40, 40, (B, E)), jnp.float32)
+    v1 = v0 + jnp.asarray(rng.uniform(-12, 12, (B, E)), jnp.float32)
+    draw = jnp.asarray(rng.random((B, E)) < 0.7)
+    draw = draw.at[3].set(False)  # empty env
+    edge_layer = jnp.asarray(rng.integers(0, L, (E,)), jnp.int32)
+    colors = jnp.asarray(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]], jnp.int32
+    )
+
+    for t in (1, 2):
+        masks = rasterize_masks_packed_pallas_soa(
+            u0, v0, u1, v1, draw, edge_layer, L, (H, W), t, interpret=True
+        )
+        expected = np.zeros((B, H, W, 3), np.uint8)
+        cols = np.asarray(colors, np.uint8)
+        m = np.asarray(masks)
+        for l in range(L):  # sequential overwrite = cv2 paint order
+            expected = np.where(m[:, l, :, :, None] > 0, cols[l], expected)
+        rank = rasterize_rank_packed_soa(
+            u0, v0, u1, v1, draw, edge_layer, L, (H, W), t, interpret=True
+        )
+        got = np.asarray(ras.rgb_from_rank(rank, colors))
+        np.testing.assert_array_equal(got, expected, err_msg=f"t={t}")
+        assert np.asarray(rank).max() <= L
+    assert np.asarray(masks).sum() > 0

@@ -214,6 +214,28 @@ def render_observation_batch(
     if out_dtype is not None and fmt != "classes":
         raise ValueError("float out_dtype is only defined for classes masks")
     u0, v0, u1, v1, draw = _project_packed_batch_soa(params, states)
+    import os as _os
+
+    if (
+        fmt == "rgb"
+        and jax.default_backend() == "tpu"
+        and _os.environ.get("TINYCARLO_RGB", "rank") == "rank"
+    ):
+        # rgb fast path: the rank kernel emits a (B, H, W) layer-rank
+        # map (1/5th the output bytes of the per-layer masks) and the
+        # palette composite reads that instead of re-reading the masks
+        # -- identical frames (rasterize.rgb_from_rank)
+        from tinycarlo_tpu.ops.rasterize_pallas import (
+            rasterize_rank_packed_soa,
+        )
+
+        rank = rasterize_rank_packed_soa(
+            u0, v0, u1, v1, draw, md.packed_edge_layer, md.n_layers,
+            cfg.camera.resolution, cfg.camera.line_thickness,
+            max_visible=cfg.camera.max_visible_segments,
+            layer_bounds=md.packed_layer_bounds or None,
+        )
+        return ras.rgb_from_rank(rank, md.laneline_colors)
     masks = ras.rasterize_masks_packed_auto_soa(
         u0, v0, u1, v1, draw, md.packed_edge_layer, md.n_layers,
         cfg.camera.resolution, cfg.camera.line_thickness,

@@ -276,6 +276,21 @@ def rasterize_rgb(
     return frame
 
 
+def rgb_from_rank(rank: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) uint8 layer-rank map (0 = background, l+1 = layer l
+    painted last) -> (..., H, W, 3) uint8 rgb. Bit-identical to
+    `rasterize_rgb`'s sequential composite: cv2 paints layers in index
+    order with later layers overwriting (renderer.py:41-43), which is
+    exactly "highest rank wins". Used with the TPU rank kernel
+    (rasterize_pallas.rasterize_rank_packed_soa), which writes 1/5th the
+    output bytes of the per-layer masks."""
+    frame = jnp.zeros(rank.shape + (3,), jnp.uint8)
+    colors = colors.astype(jnp.uint8)
+    for l in range(colors.shape[0]):
+        frame = jnp.where((rank == l + 1)[..., None], colors[l], frame)
+    return frame
+
+
 def compact_visible(
     p0: jnp.ndarray,  # (..., E, 2) float pixel coords
     p1: jnp.ndarray,

@@ -1375,8 +1375,179 @@ def rasterize_env_seg(
     )
 
 
+def _kernel_env_rank(
+    count_ref,
+    idx_ref,
+    ax_ref,
+    ay_ref,
+    abx_ref,
+    aby_ref,
+    inv_ref,
+    bw_ref,
+    out_ref,
+    scratch,
+    *,
+    n_layers,
+    h,
+    hp,
+    w,
+    r2,
+    gran,
+    win,
+    nxb,
+    one_tier,
+):
+    """Rank variant of `_kernel_env_idx` for the rgb fast path: one
+    per-env strip, windows stamp max(scratch, layer_id + 1), output is a
+    (B, h, w) uint8 rank map (0 = background). Composited to rgb by
+    `rasterize.rgb_from_rank` -- identical frames to the per-layer
+    masks + paint-order composite at ~1/5th the kernel output bytes
+    (docs/KERNELS.md "rank-kernel rgb path")."""
+    wb = _XB if nxb > 1 else w
+    i = pl.program_id(0)
+    n_bands = hp // gran
+
+    n = count_ref[0, i]
+    n_one = count_ref[1, i]
+    n_short = count_ref[2, i]
+
+    @pl.when(n == 0)
+    def _empty():
+        out_ref[0] = jnp.zeros((h, w), jnp.uint8)
+
+    @pl.when(n > 0)
+    def _live():
+        scratch[:] = jnp.zeros((nxb * hp, wb), jnp.float32)
+
+        def load(s):
+            e = idx_ref[0, 0, s]
+            return (
+                ax_ref[0, 0, e],
+                ay_ref[0, 0, e],
+                abx_ref[0, 0, e],
+                aby_ref[0, 0, e],
+                inv_ref[0, 0, e],
+                bw_ref[0, 0, e],
+            )
+
+        _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
+                    one_tier=one_tier, rank_decode=(n_bands, nxb, hp))
+        if nxb == 1:
+            frame = scratch[:h]
+        else:
+            strips = [
+                scratch[bl * hp : bl * hp + h] for bl in range(nxb)
+            ]
+            frame = jnp.concatenate(strips, axis=1)[:, :w]
+        # f32 -> int32 -> uint8 (direct cast miscompiles in Mosaic)
+        out_ref[0] = frame.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_layers", "resolution", "thickness", "gran", "split", "one_tier",
+        "interpret",
+    ),
+)
+def rasterize_env_rank(
+    soa,  # from compact_env_idx_soa, leading dim (B,)
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    gran: int = 8,
+    split: bool = False,
+    one_tier: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, H, W) uint8 layer-rank map from a `compact_env_idx_soa`
+    bundle (0 = background, l+1 = layer l painted last). See
+    `_kernel_env_rank`."""
+    idx, ax, ay, abx, aby, inv, bw, counts = soa
+    h, w = resolution
+    bsz, le = ax.shape
+    kp = idx.shape[-1]
+    _, hp, win = _window_rows(gran, h)
+    nxb = _n_xblocks(w) if split else 1
+    r2 = _stroke_params(thickness)
+    kernel = functools.partial(
+        _kernel_env_rank,
+        n_layers=n_layers,
+        h=h,
+        hp=hp,
+        w=w,
+        r2=r2,
+        gran=gran,
+        win=win,
+        nxb=nxb,
+        one_tier=one_tier,
+    )
+    smem_idx = pl.BlockSpec(
+        (1, 1, kp), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    smem_soa = pl.BlockSpec(
+        (1, 1, le), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    wb = _XB if nxb > 1 else w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz,),
+        in_specs=[smem_idx] + [smem_soa] * 6,
+        out_specs=pl.BlockSpec((1, h, w), lambda i, c: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nxb * hp, wb), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w), jnp.uint8),
+        interpret=interpret,
+    )(
+        counts,
+        idx.reshape(bsz, 1, kp),
+        *(x.reshape(bsz, 1, le) for x in (ax, ay, abx, aby, inv, bw)),
+    )
+
+
+def rasterize_rank_packed_soa(
+    u0: jnp.ndarray,  # (..., E) packed edge axis, SoA pixel coords
+    v0: jnp.ndarray,
+    u1: jnp.ndarray,
+    v1: jnp.ndarray,
+    draw: jnp.ndarray,  # (..., E)
+    edge_layer: jnp.ndarray,  # (E,) int32
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int = 1,
+    max_visible: Optional[int] = None,
+    interpret: bool = False,
+    layer_bounds: Optional[Tuple[int, ...]] = None,
+) -> jnp.ndarray:
+    """(..., H, W) uint8 layer-rank map (rgb fast path): same compaction
+    as `rasterize_masks_packed_pallas_soa`, rank kernel instead of the
+    per-layer masks. `rasterize.rgb_from_rank(rank, colors)` composites
+    it into exactly the frame `rasterize_rgb` builds from the masks."""
+    lead = draw.shape[:-1]
+    e = draw.shape[-1]
+    h, w = resolution
+    nxb = _n_xblocks(w)
+    k = e * nxb if max_visible is None else min(max_visible * nxb, e * nxb)
+    gran = 16
+    u0, v0, u1, v1 = (x.reshape(-1, 1, e) for x in (u0, v0, u1, v1))
+    draw = draw.reshape(-1, 1, e)
+    soa = compact_env_idx_soa(
+        u0, v0, u1, v1, draw, k, gran, h, thickness,
+        edge_layer=edge_layer, n_layers=n_layers, w=w,
+        layer_bounds=layer_bounds,
+    )
+    rank = rasterize_env_rank(
+        soa, n_layers, tuple(resolution), thickness, gran=gran,
+        split=True, interpret=interpret,
+    )
+    return rank.reshape(*lead, h, w)
+
+
 def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
-                one_tier=False, fill=255.0):
+                one_tier=False, fill=255.0, rank_decode=None):
     """Shared three-tier segment loops over one env's slots.
 
     `load(s)` returns slot s's SoA scalars (ax, ay, abx, aby, inv, bw).
@@ -1386,14 +1557,24 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
     window at the clamped start band. Tier 3 (slots [n_short, n)):
     talls, 16-row window plus a dynamic per-band tail. Tiers 1-2 are
     pair-unrolled; an over-run into the next tier stamps a subset of
-    that segment's bands, which its own tier re-covers (idempotent OR).
+    that segment's bands, which its own tier re-covers (idempotent OR /
+    max).
+
+    `rank_decode=(n_bands, nxb, hp)` switches to RANK stamping for the
+    rgb fast path: the layer id is peeled off the band word's stacked
+    frame index (frame = lay * nxb + xb, folded at compaction), the
+    window lands in a single per-env strip (the lay * nxb * hp row
+    offset is subtracted back out of ay/y0), and hits write
+    max(scratch, lay + 1) -- cv2's sequential paint order IS "highest
+    layer index wins" (reference renderer.py:41-43), so the rank map
+    composites into the identical rgb frame.
     """
     xs8 = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 1).astype(jnp.float32)
     ys8 = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 0).astype(jnp.float32)
     xs16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 1).astype(jnp.float32)
     ys16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 0).astype(jnp.float32)
 
-    def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live):
+    def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live, val=None):
         # scalar-unit folds keep the vector loop lean: the window row
         # offset rides in ay, and the live check rides in the compare
         # constant (dead slots get r2 = -1, which nothing satisfies)
@@ -1405,24 +1586,40 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         # Python-int start lowers to int64 under x64 (interpret-mode
         # tests) and dynamic_slice rejects mixed index dtypes; deriving
         # it from y0 keeps both starts int32 in every mode.
-        pltpu.store(
-            scratch.at[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])],
-            jnp.full((rows, scratch.shape[-1]), fill, jnp.float32),
-            mask=hit,
-        )
+        if rank_decode is None:
+            pltpu.store(
+                scratch.at[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])],
+                jnp.full((rows, scratch.shape[-1]), fill, jnp.float32),
+                mask=hit,
+            )
+        else:
+            cur = scratch[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])]
+            scratch[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])] = (
+                jnp.maximum(cur, jnp.where(hit, val, 0.0))
+            )
+
+    def _decode(ay, bw):
+        """(ay', b0', nb, rank): strip coords + layer rank per slot."""
+        b0 = bw // _NB_PACK
+        nb = bw - b0 * _NB_PACK
+        if rank_decode is None:
+            return ay, b0, nb, None
+        n_bands, nxb_, hp_ = rank_decode
+        lay = b0 // (n_bands * nxb_)
+        b0 = b0 - lay * (n_bands * nxb_)
+        ay = ay - (lay * (nxb_ * hp_)).astype(jnp.float32)
+        return ay, b0, nb, (lay + 1).astype(jnp.float32)
 
     def win8(s):
         ax, ay, abx, aby, inv, bw = load(s)
-        b0 = bw // _NB_PACK
-        nb = bw - b0 * _NB_PACK
-        stamp(xs8, ys8, gran, b0 * gran, ax, ay, abx, aby, inv, nb > 0)
+        ay, b0, nb, val = _decode(ay, bw)
+        stamp(xs8, ys8, gran, b0 * gran, ax, ay, abx, aby, inv, nb > 0, val)
 
     def win16(s):
         ax, ay, abx, aby, inv, bw = load(s)
-        b0 = bw // _NB_PACK
-        nb = bw - b0 * _NB_PACK
-        stamp(xs16, ys16, win, b0 * gran, ax, ay, abx, aby, inv, nb > 0)
-        return ax, ay, abx, aby, inv, b0, nb
+        ay, b0, nb, val = _decode(ay, bw)
+        stamp(xs16, ys16, win, b0 * gran, ax, ay, abx, aby, inv, nb > 0, val)
+        return ax, ay, abx, aby, inv, b0, nb, val
 
     if one_tier:
         import os as _os
@@ -1459,11 +1656,12 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         jax.lax.fori_loop(0, (n_short + unroll - 1) // unroll, pack, 0)
 
     def tall_one(s, _):
-        ax, ay, abx, aby, inv, b0, nb = win16(s)
+        ax, ay, abx, aby, inv, b0, nb, val = win16(s)
 
         def tail(bi, _):
             stamp(
-                xs8, ys8, gran, bi * gran, ax, ay, abx, aby, inv, nb > 0
+                xs8, ys8, gran, bi * gran, ax, ay, abx, aby, inv, nb > 0,
+                val,
             )
             return 0
 
