@@ -75,6 +75,7 @@ _SLOW_TESTS = {
         "test_packed_matches_per_layer",
         "test_segment_overflow_counts",
         "test_rank_kernel_rgb_equals_mask_composite",
+        "test_rank_kernel_odd_height_and_budget",
     },
     "test_checkpoint.py": {
         "test_td3_state_roundtrip",

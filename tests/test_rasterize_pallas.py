@@ -600,3 +600,37 @@ def test_rank_kernel_rgb_equals_mask_composite():
         np.testing.assert_array_equal(got, expected, err_msg=f"t={t}")
         assert np.asarray(rank).max() <= L
     assert np.asarray(masks).sum() > 0
+
+
+def test_rank_kernel_odd_height_and_budget():
+    """Rank path with h not a multiple of the window granularity and an
+    oversubscribed slot budget still matches the masks composite
+    restricted to the same kept set (both use the same compaction)."""
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        rasterize_masks_packed_pallas_soa,
+        rasterize_rank_packed_soa,
+    )
+
+    rng = np.random.default_rng(31)
+    B, E, H, W, L = 2, 20, 30, 40, 2
+    u0 = jnp.asarray(rng.uniform(0, W, (B, E)), jnp.float32)
+    v0 = jnp.asarray(rng.uniform(0, H, (B, E)), jnp.float32)
+    u1 = u0 + jnp.asarray(rng.uniform(-8, 8, (B, E)), jnp.float32)
+    v1 = v0 + jnp.asarray(rng.uniform(-8, 8, (B, E)), jnp.float32)
+    draw = jnp.ones((B, E), bool)
+    edge_layer = jnp.asarray(rng.integers(0, L, (E,)), jnp.int32)
+    for max_visible in (None, 6):
+        masks = rasterize_masks_packed_pallas_soa(
+            u0, v0, u1, v1, draw, edge_layer, L, (H, W), 2,
+            max_visible=max_visible, interpret=True,
+        )
+        rank = rasterize_rank_packed_soa(
+            u0, v0, u1, v1, draw, edge_layer, L, (H, W), 2,
+            max_visible=max_visible, interpret=True,
+        )
+        m = np.asarray(masks)
+        expected = np.zeros((B, H, W), np.uint8)
+        for l in range(L):
+            expected = np.where(m[:, l] > 0, np.uint8(l + 1), expected)
+        np.testing.assert_array_equal(np.asarray(rank), expected)
+    assert np.asarray(rank).sum() > 0
