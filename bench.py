@@ -55,8 +55,9 @@ CONFIG = {
     },
 }
 N_ENVS = int(os.environ.get("BENCH_ENVS", 4096))
-CHUNK = int(os.environ.get("BENCH_CHUNK", 50))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 400))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
+UNROLL = int(os.environ.get("BENCH_UNROLL", 8))
 SPEED, K = 0.5, 5.0
 
 
@@ -108,12 +109,16 @@ def measure_ours():
 
     @jax.jit
     def rollout(vstate, info):
-        # unroll=4: lets XLA overlap one step's rasterize-kernel output
-        # DMA with the next step's car/info fusions (measured +3.7%,
-        # benchmarks/exp_r3c.py unroll probe)
+        # unroll: lets XLA overlap one step's rasterize-kernel output
+        # DMA with the next step's car/info fusions (unroll=4 +3.7%,
+        # benchmarks/exp_r3c.py; unroll=8 a further +0.7% at CHUNK=400,
+        # non-overlapping spreads). CHUNK=400: the tunneled backend costs
+        # ~16 ms fixed per rollout dispatch (two-point fit 508.8k@50 /
+        # 524.5k@200 same window), so short chunks under-report the chip:
+        # 50->400 steps/dispatch is +3.8% with identical per-step work.
         (vstate, info, checksum), rews = jax.lax.scan(
             body, (vstate, info, jnp.zeros((), jnp.uint32)), None,
-            length=CHUNK, unroll=4,
+            length=CHUNK, unroll=UNROLL,
         )
         return vstate, info, checksum, rews
 

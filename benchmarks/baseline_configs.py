@@ -89,6 +89,10 @@ def config3():
     from tinycarlo_tpu import vector
 
     n_envs = int(os.environ.get("BENCH_ENVS3", 512))
+    # 100-step chunks: the tunneled backend costs ~16 ms per dispatch
+    # (bench.py CHUNK fit, docs/KERNELS.md round-3b) -- at ~4.8 ms/step
+    # a 20-step chunk paid ~17% pure dispatch overhead
+    chunk_steps = int(os.environ.get("BENCH_CHUNK3", 100))
     cfg = {
         "sim": {"fps": 30, "observation_space_format": "classes"},
         "car": {"wheelbase": 0.0487, "track_width": 0.027,
@@ -130,7 +134,7 @@ def config3():
     def rollout(vstate):
         (vstate, checksum), _ = jax.lax.scan(
             body, (vstate, jnp.zeros((), jnp.uint32)),
-            jnp.arange(20, dtype=jnp.int32), unroll=4)
+            jnp.arange(chunk_steps, dtype=jnp.int32), unroll=4)
         return vstate, checksum
 
     vstate, _ = vector.reset(params, jax.random.key(0), n_envs, render=False)
@@ -143,7 +147,7 @@ def config3():
         st = time.perf_counter()
         vstate, checksum = rollout(vstate)
         assert int(checksum) > 0
-        rates.append(n_envs * 20 / (time.perf_counter() - st))
+        rates.append(n_envs * chunk_steps / (time.perf_counter() - st))
     rates.sort()
     print(json.dumps({
         "config": 3,
@@ -168,7 +172,7 @@ def config4():
     from tinycarlo_tpu.train.td3_loop import LoopConfig, chunk, init_loop
 
     n_envs = int(os.environ.get("BENCH_ENVS4", 64))
-    chunk_steps = 100
+    chunk_steps = int(os.environ.get("BENCH_CHUNK4", 100))
     params = fenv.make_env_params(os.path.join(
         REPO, "examples/config_simple_layout.yaml"))
     import dataclasses
