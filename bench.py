@@ -30,8 +30,11 @@ REFERENCE = "/root/reference"
 RECORDED_REFERENCE_SPS = 132.8
 CONFIG = {
     # examples/config_simple_layout.yaml with classes obs and no
-    # human-render machinery (maps vendored, examples/maps/README.md)
-    "sim": {"fps": 30, "observation_space_format": "classes"},
+    # human-render machinery (maps vendored, examples/maps/README.md).
+    # BENCH_OBS_FORMAT=rgb measures the rgb rank-kernel path instead
+    # (the headline metric stays classes).
+    "sim": {"fps": 30, "observation_space_format":
+            os.environ.get("BENCH_OBS_FORMAT", "classes")},
     "car": {
         "wheelbase": 0.0487,
         "track_width": 0.027,
@@ -198,7 +201,8 @@ def main():
         json.dumps(
             {
                 "metric": f"env-steps/s/chip at {N_ENVS} envs "
-                          "(classes obs, Stanley)",
+                          f"({CONFIG['sim']['observation_space_format']}"
+                          " obs, Stanley)",
                 "value": round(med, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(med / ref_sps, 2),
