@@ -197,6 +197,11 @@ def main():
     if not ref_live:
         ref_sps = RECORDED_REFERENCE_SPS
     med, lo, hi = measure_ours()
+    # The recorded reference number was measured with classes obs; for a
+    # non-default BENCH_OBS_FORMAT without a live reference measurement
+    # the ratio would compare mismatched formats -- flag it null.
+    fmt = CONFIG["sim"]["observation_space_format"]
+    comparable = ref_live or fmt == "classes"
     print(
         json.dumps(
             {
@@ -205,7 +210,8 @@ def main():
                           " obs, Stanley)",
                 "value": round(med, 1),
                 "unit": "env-steps/s",
-                "vs_baseline": round(med / ref_sps, 2),
+                "vs_baseline": round(med / ref_sps, 2) if comparable
+                else None,
                 "baseline_reference_steps_per_s": round(ref_sps, 1),
                 "baseline_measured_live": ref_live,
                 "spread_min": round(lo, 1),

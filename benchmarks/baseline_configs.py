@@ -172,7 +172,11 @@ def config4():
     from tinycarlo_tpu.train.td3_loop import LoopConfig, chunk, init_loop
 
     n_envs = int(os.environ.get("BENCH_ENVS4", 64))
-    chunk_steps = int(os.environ.get("BENCH_CHUNK4", 100))
+    # Defaults reproduce the BASELINE.md headline rows 4/4b (191.5k @1024
+    # / 71.6k @64): 200-step chunks + bf16 encoder compute. The earlier
+    # 100-step / f32-encoder numbers (181.9k / 55.1k) need
+    # BENCH_CHUNK4=100 BENCH_ENC_DTYPE=float32.
+    chunk_steps = int(os.environ.get("BENCH_CHUNK4", 200))
     params = fenv.make_env_params(os.path.join(
         REPO, "examples/config_simple_layout.yaml"))
     import dataclasses
@@ -187,7 +191,7 @@ def config4():
                           max_episode_steps=1000, obs_dtype=obs_dtype)
     stack = standard_stack()
     enc_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
-        os.environ.get("BENCH_ENC_DTYPE", "float32")]
+        os.environ.get("BENCH_ENC_DTYPE", "bfloat16")]
     enc = TinycarEncoder(dtype=enc_dtype)
     obs_shape = fenv.observation_shape(params)
     enc_vars = enc.init(
