@@ -59,6 +59,10 @@ if __name__ == "__main__":
     # float obs feed (classes format only): the rasterizer emits 0/1 masks
     # straight into the frozen encoder -- same values, no uint8 round trip
     classes = params.cfg.sim.observation_space_format == "classes"
+    # --episodes N plans N episodes per env and runs the reference's
+    # exact per-episode sigma decay in-graph (train_td3.py:143,179);
+    # without it the host lowers the level once per chunk (see below).
+    total_eps = _arg("--episodes", 0) or None
     loop_cfg = LoopConfig(
         speed=SPEED,
         steering_shift=STEERING_SHIFT if include_shift else 0.0,
@@ -66,6 +70,7 @@ if __name__ == "__main__":
         max_episode_steps=1000,
         updates_per_step=_arg("--updates", 1),
         obs_dtype=jnp.bfloat16 if classes else None,
+        total_episodes=total_eps,
     )
     stack = standard_stack()  # same shaping as train_td3.py:60-62
 
@@ -130,12 +135,17 @@ if __name__ == "__main__":
     snapshot_weights(0)
     st = time.perf_counter()
     for i in range(n_chunks):
-        # linear decay of the OU sigma level across the run; each env
-        # adopts it at its own episode boundary, so sigma stays constant
-        # within episodes exactly like the reference (train_td3.py:179)
-        state = state.replace(
-            sigma_target=jnp.asarray(0.4 * (1 - i / n_chunks), jnp.float32)
-        )
+        if total_eps is None:
+            # linear decay of the OU sigma level across the run; each env
+            # adopts it at its own episode boundary, so sigma stays
+            # constant within episodes like the reference
+            # (train_td3.py:179). With --episodes the exact per-episode
+            # formula runs in-graph instead (LoopConfig.total_episodes).
+            state = state.replace(
+                sigma_target=jnp.asarray(
+                    0.4 * (1 - i / n_chunks), jnp.float32
+                )
+            )
         state, out = run(state)
         out = jax.device_get(out)
         c1_hist += list(out["critic1_loss"])

@@ -161,3 +161,56 @@ def test_updates_per_step_zero_collect_only(params):
     state, out = run(state)
     assert int(state.buf.filled) == 3 * B
     assert np.all(np.asarray(out["critic1_loss"]) == 0.0)
+
+
+def test_sigma_per_episode(params):
+    """LoopConfig.total_episodes runs the reference's exact per-episode
+    OU-sigma decay in-graph (train_td3.py:143,179): each env's sigma is
+    0.4 * (1 - e / EPISODES) throughout its e-th episode, stepping only
+    at that env's own episode boundaries."""
+    cfg = td3.TD3Config(seq_len=2, batch_size=8)
+    total_eps = 5
+    loop_cfg = LoopConfig(
+        replay_size=64,
+        max_episode_steps=4,  # force frequent truncation boundaries
+        updates_per_step=0,
+        total_episodes=total_eps,
+    )
+
+    def encoder_apply(obs):
+        x = obs.astype(jnp.float32) / 255.0
+        f = x.reshape(x.shape[0], -1)
+        pad = 256 - (f.shape[1] % 256)
+        f = jnp.pad(f, ((0, 0), (0, pad)))
+        return f.reshape(x.shape[0], -1, 256).mean(axis=1)
+
+    state = init_loop(params, cfg, loop_cfg, jax.random.key(1), B)
+    assert float(state.sigma[0]) == pytest.approx(0.4)
+    run = jax.jit(
+        partial(
+            chunk,
+            params=params,
+            cfg=cfg,
+            loop_cfg=loop_cfg,
+            encoder_apply=encoder_apply,
+            n_steps=30,
+        )
+    )
+    state, out = run(state)
+    done = np.asarray(out["done"])  # (T, B)
+    sigma = np.asarray(out["sigma"])  # (T, B) post-step sigma
+    for b in range(B):
+        ep = 0
+        for t in range(done.shape[0]):
+            if done[t, b]:
+                ep += 1
+            # sigma AFTER step t = level of the episode in progress next
+            expect = 0.4 * max(0.0, 1.0 - ep / total_eps)
+            assert sigma[t, b] == pytest.approx(expect, abs=1e-7), (
+                b, t, ep
+            )
+        assert ep >= 5  # the 4-step cap forced enough boundaries
+    # state counters agree with the observed boundaries
+    np.testing.assert_array_equal(
+        np.asarray(state.ep_count), done.sum(axis=0)
+    )

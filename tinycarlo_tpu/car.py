@@ -305,7 +305,63 @@ def car_info(map_data: MapData, cfg: CarConfig, state: CarState):
     # masked min over the packed axis. Selection is identical to the
     # reference's per-layer first-minimal scan: packing preserves each
     # layer's original edge order and argmin returns the first minimum.
-    if map_data.packed_edges is not None:
+    if map_data.laneline_grid is not None:
+        # Spatial pruning: the same first-wins argmin evaluated over the
+        # position's grid-cell candidate list instead of every edge. The
+        # candidate construction guarantees every minimizer (and tie)
+        # survives for any position inside the cell, and candidate order
+        # is packed-edge order, so the selected edge -- and therefore
+        # every emitted value -- is identical to the full scan within
+        # the grid's domain (see map_compiler.LanelineGrid).
+        g = map_data.laneline_grid
+        pn = map_data.packed_nodes[0]
+        pe = map_data.packed_edges[0]
+        cx = jnp.clip(
+            jnp.floor((state.position[0] - g.origin[0]) * g.inv_cell)
+            .astype(jnp.int32), 0, g.nx - 1,
+        )
+        cy = jnp.clip(
+            jnp.floor((state.position[1] - g.origin[1]) * g.inv_cell)
+            .astype(jnp.int32), 0, g.ny - 1,
+        )
+        cell = cy * g.nx + cx
+        idxs = g.cand_idx[cell]  # (K,)
+        d = jnp.abs(
+            geo.distance(state.position, g.cand_p0[cell])
+            + geo.distance(state.position, g.cand_p1[cell])
+        )
+        d = jnp.where(idxs >= 0, d, jnp.asarray(geo._BIG, d.dtype))
+        gb = g.layer_bounds
+        k_best = jnp.stack(
+            [
+                jnp.argmin(d[gb[l]: gb[l + 1]]) + gb[l]
+                if gb[l + 1] > gb[l]
+                # edgeless layer: match the full scan's fallback (packed
+                # edge 0)
+                else jnp.full((), -1, jnp.int32)
+                for l in range(map_data.n_layers)
+            ]
+        )
+        ne_idx = jnp.where(
+            k_best >= 0,
+            jnp.maximum(idxs[jnp.maximum(k_best, 0)], 0),
+            0,
+        )
+
+        def edge_distance(ei):
+            ne = pe[ei]
+            inside = geo.within_edge_bounds(pn, ne, state.position)
+            d_perp = jnp.abs(
+                geo.signed_distance_to_edge(pn, ne, state.position)
+            )
+            d_node = jnp.minimum(
+                geo.distance(state.position, pn[ne[0]]),
+                geo.distance(state.position_front, pn[ne[1]]),
+            )
+            return jnp.where(inside, d_perp, d_node)
+
+        distances = jax.vmap(edge_distance)(ne_idx)
+    elif map_data.packed_edges is not None:
         pn = map_data.packed_nodes[0]
         pe = map_data.packed_edges[0]
         pm = map_data.packed_edge_mask[0]

@@ -58,6 +58,15 @@ class CameraConfig:
     # visible segments would drop the excess, so raise it for unusually
     # dense maps. None disables compaction (exact, slower).
     max_visible_segments: Optional[int] = 128
+    # Thickness >= 2 stroke semantics (extension; not part of the
+    # reference YAML schema). "fast": the calibrated rectangle-body +
+    # end-cap stroke (rasterize._split_radii) used by the TPU Pallas
+    # kernels -- the throughput path. "exact": the bit-exact
+    # cv2.polylines thick-stroke replica (ops/cv2_stroke.py) for
+    # reference-checkpoint portability; runs on the tiled XLA
+    # rasterizer on every backend (slower). Thickness 1 is bit-exact in
+    # BOTH modes.
+    stroke: str = "fast"
 
 
 @dataclass(frozen=True)
@@ -65,6 +74,18 @@ class MapConfig:
     json_path: str = ""
     pixel_per_meter: int = 1
     spawn_points: Optional[Tuple[int, ...]] = None
+    # Spatial-pruning grid for car_info's per-laneline nearest-edge
+    # queries (extension; the reference scans every edge per step,
+    # tinycarlo/layer.py:33-44). Exact-argmin-preserving within the
+    # map bbox inflated by `query_grid_margin` meters per side (None =
+    # half the larger map dimension); positions beyond the inflated
+    # bbox clamp to the boundary cell and may then deviate from the
+    # full scan -- unreachable under any terminating config. `False`
+    # restores the full scan; `query_grid_cells` targets the total
+    # cell count (actual count rounds to the map aspect ratio).
+    query_grid: bool = True
+    query_grid_cells: int = 4096
+    query_grid_margin: Optional[float] = None
 
 
 @dataclass(frozen=True)

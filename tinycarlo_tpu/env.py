@@ -111,6 +111,7 @@ def _masks_to_obs(params: EnvParams, masks, draw_bundle, fmt):
         params.cfg.camera.resolution,
         params.cfg.camera.line_thickness,
         masks=masks,
+        stroke=params.cfg.camera.stroke,
     )
 
 
@@ -128,10 +129,37 @@ def render_observation(
     cfg = params.cfg
     fmt = fmt or cfg.sim.observation_space_format
     p0, p1, draw = _project_all_layers(params, state.car)
-    masks = ras.rasterize_masks_auto(
-        p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness,
-        max_visible=cfg.camera.max_visible_segments,
-    )
+
+    def render_with(k):
+        return ras.rasterize_masks_auto(
+            p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness,
+            max_visible=k, stroke=cfg.camera.stroke,
+        )
+
+    small_k = 32
+    budget = cfg.camera.max_visible_segments
+    if (
+        ras._effective_platform() != "tpu"
+        and (budget is None or budget > small_k)
+    ):
+        # Single-env CPU path (the interactive gym shim): the tiled
+        # rasterizer's cost scales with the slot budget, but typical
+        # frames draw ~10-25 segments per layer. Render with a small
+        # budget and fall back to the configured one only when a layer
+        # actually draws more -- compact_visible keeps the first k drawn
+        # segments, so "every layer's drawn count <= k" guarantees a
+        # bit-identical frame. lax.cond executes ONE branch here
+        # (unbatched); batched rollouts use render_observation_batch and
+        # never reach this. (A vmap over render_observation would turn
+        # the cond into both-branches select -- correct, just slower.)
+        drawn_max = jnp.max(jnp.sum(draw, axis=-1))
+        masks = jax.lax.cond(
+            drawn_max <= small_k,
+            lambda: render_with(small_k),
+            lambda: render_with(budget),
+        )
+    else:
+        masks = render_with(budget)
     return _masks_to_obs(params, masks, (p0, p1, draw), fmt)
 
 
@@ -218,8 +246,10 @@ def render_observation_batch(
 
     if (
         fmt == "rgb"
-        and jax.default_backend() == "tpu"
+        and ras._effective_platform() == "tpu"
         and _os.environ.get("TINYCARLO_RGB", "rank") == "rank"
+        and not (cfg.camera.stroke == "exact"
+                 and cfg.camera.line_thickness >= 2)
     ):
         # rgb fast path: the rank kernel emits a (B, H, W) layer-rank
         # map (1/5th the output bytes of the per-layer masks) and the
@@ -242,6 +272,7 @@ def render_observation_batch(
         max_visible=cfg.camera.max_visible_segments,
         layer_bounds=md.packed_layer_bounds or None,
         out_dtype=out_dtype if out_dtype is not None else jnp.uint8,
+        stroke=cfg.camera.stroke,
     )
     if fmt == "classes":
         return masks

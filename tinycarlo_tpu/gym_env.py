@@ -98,11 +98,14 @@ class _CameraView:
         dtype = self._shim.params.camera.E.dtype
         if self._builder is None:
             self._builder = cam.matrix_builder(tuple(self.resolution), dtype)
-        matrices = self._builder(
-            np.asarray(self.orientation, dtype),
-            np.asarray(self.position, dtype),
-            np.asarray(self.fov, dtype),
-        )
+        with self._shim._on_device():
+            matrices = self._builder(
+                np.asarray(self.orientation, dtype),
+                np.asarray(self.position, dtype),
+                np.asarray(self.fov, dtype),
+            )
+        if self._shim._device is not None:
+            matrices = jax.device_put(matrices, self._shim._device)
         self._shim.params = self._shim.params.replace(camera=matrices)
 
 
@@ -116,6 +119,7 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
         render_mode: Optional[str] = None,
         config: Optional[Union[str, Dict[str, Any]]] = None,
         dtype=jnp.float32,
+        device: Optional[str] = "cpu",
     ):
         cfg, config_path = load_config(config)
         self.config_path = config_path
@@ -126,7 +130,28 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
             with open(config_path) as stream:
                 self.config = yaml.safe_load(stream)
 
-        self.params = fenv.make_env_params(cfg, dtype=dtype, base_path=config_path)
+        # Device policy: the interactive single-env shim is dispatch-
+        # latency bound (one host round trip per step), so it runs on the
+        # host CPU backend by default -- a single env cannot use an
+        # accelerator, and remote/tunneled chips add a network round trip
+        # the reference (pure in-process Python, env.py:115-146) never
+        # pays. `device=None` keeps the JAX default backend (e.g. to
+        # share buffers with a TPU training loop); any explicit backend
+        # name ("tpu", "cpu") pins to it. The batched `vector.VecEnv`
+        # path is unaffected and always uses the default (accelerator)
+        # backend.
+        self._device = None
+        if device is not None:
+            try:
+                self._device = jax.devices(device)[0]
+            except RuntimeError:
+                self._device = None  # backend unavailable: JAX default
+        with self._on_device():
+            self.params = fenv.make_env_params(
+                cfg, dtype=dtype, base_path=config_path
+            )
+        if self._device is not None:
+            self.params = jax.device_put(self.params, self._device)
         self.fps = cfg.sim.fps
         self.T = cfg.sim.T
         self.render_realtime = cfg.sim.render_realtime
@@ -189,6 +214,15 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
 
     # -- helpers -----------------------------------------------------------
 
+    def _on_device(self):
+        """Context manager pinning jnp array creation + jit compilation to
+        the shim's device policy (no-op under `device=None`)."""
+        if self._device is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return jax.default_device(self._device)
+
     def _sample_spawn_row(self) -> int:
         """Replay the reference RNG draw sequence (map.py:61-64)."""
         while True:
@@ -238,10 +272,11 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
         if gym is not None:
             super().reset(seed=seed)
         row = self._sample_spawn_row()
-        self.state, _, info = self._reset_fn(
-            self.params, jax.random.PRNGKey(0), jnp.asarray(row)
-        )
-        observation = self._get_obs()
+        with self._on_device():
+            self.state, _, info = self._reset_fn(
+                self.params, jax.random.PRNGKey(0), jnp.asarray(row)
+            )
+            observation = self._get_obs()
         # single host<->device round-trip for the whole info pytree
         info = jax.device_get(info)
         if self.render_mode == "human":
@@ -251,28 +286,34 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
     def step(self, action: Dict[str, Any]):
         st = time.perf_counter()
         control = np.clip(np.asarray(action["car_control"], np.float64), -1, 1)
-        act = {
-            "car_control": jnp.asarray(control),
-            "maneuver": jnp.asarray(int(action["maneuver"])),
-        }
-        want_obs = not self.no_observation or self.render_mode is not None
-        if getenv("DEBUG"):
-            observation, reward, terminated, truncated, info = self._step_debug(
-                act, want_obs, st
+        with self._on_device():
+            act = {
+                "car_control": jnp.asarray(control),
+                "maneuver": jnp.asarray(int(action["maneuver"])),
+            }
+            want_obs = (
+                not self.no_observation or self.render_mode is not None
             )
+            dbg = getenv("DEBUG")
+        if dbg:
+            with self._on_device():
+                observation, reward, terminated, truncated, info = (
+                    self._step_debug(act, want_obs, st)
+                )
         else:
             # ONE fused device dispatch for car step + obs render + info and
             # ONE device->host transfer per step (matters when the chip sits
             # behind a network tunnel: each dispatch pays the ~ms round trip)
-            self.state, obs_dev, reward, terminated, truncated, info = (
-                self._step_fn(
-                    self.params,
-                    self.state,
-                    act,
-                    render=want_obs,
-                    wrapped=self.wrapped,
+            with self._on_device():
+                self.state, obs_dev, reward, terminated, truncated, info = (
+                    self._step_fn(
+                        self.params,
+                        self.state,
+                        act,
+                        render=want_obs,
+                        wrapped=self.wrapped,
+                    )
                 )
-            )
             if want_obs:
                 observation, reward, terminated, truncated, info = (
                     jax.device_get(

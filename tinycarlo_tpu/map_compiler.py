@@ -74,6 +74,130 @@ class SpawnTable:
 
 
 @struct.dataclass
+class LanelineGrid:
+    """Uniform spatial grid over the packed laneline edges, pruning
+    car_info's per-layer nearest-edge scans (reference scans every edge
+    per query, tinycarlo/layer.py:33-44) to a per-cell candidate list.
+
+    Exact-argmin-preserving: a cell's candidate list contains every edge
+    e with lb(e) <= min_f ub(f), where lb/ub bound the reference's
+    sum-of-endpoint-distances metric over the whole cell rectangle (lb =
+    dist(rect, a) + dist(rect, b), ub = maxdist(rect, a) + maxdist(rect,
+    b)). Any minimizer (and every tie) for any position inside the cell
+    therefore survives, and candidates keep packed-edge order, so the
+    first-wins argmin picks the identical edge. Positions outside the
+    grid clamp to the boundary cell (approximate; see MapConfig).
+
+    Candidate coordinates are inlined per cell ((C, K, 2) copies of the
+    packed node coords) so the runtime query is one row gather + a K-
+    wide reduction instead of an E-wide scan plus endpoint gathers.
+    """
+
+    origin: jnp.ndarray  # (2,) float (x, y) of cell (0, 0) corner
+    inv_cell: jnp.ndarray  # () float, 1 / cell_size
+    cand_idx: jnp.ndarray  # (C, K) int32 packed-edge index, -1 = pad
+    cand_p0: jnp.ndarray  # (C, K, 2) float src endpoint coords
+    cand_p1: jnp.ndarray  # (C, K, 2) float dst endpoint coords
+    nx: int = struct.field(pytree_node=False, default=1)
+    ny: int = struct.field(pytree_node=False, default=1)
+    # Static per-layer offsets into the K axis (len L + 1): layer l's
+    # candidates occupy [bounds[l], bounds[l+1]) of every row.
+    layer_bounds: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=()
+    )
+
+
+def _build_laneline_grid(
+    packed_nodes: np.ndarray,  # (Np, 2) float (post-dtype cast)
+    packed_edges: np.ndarray,  # (Ep, 2) int32
+    n_real_edges: int,
+    layer_bounds: Tuple[int, ...],
+    dimension_hw: Tuple[float, float],
+    target_cells: int,
+    margin: Optional[float],
+) -> Optional[LanelineGrid]:
+    """Host-side grid construction (see LanelineGrid). Returns None when
+    pruning would not pay (candidate rows nearly as wide as the edge
+    axis)."""
+    if n_real_edges == 0:
+        return None
+    h_m, w_m = float(dimension_hw[0]), float(dimension_hw[1])
+    if margin is None:
+        margin = 0.5 * max(h_m, w_m)
+    x0, y0 = -margin, -margin
+    x1, y1 = w_m + margin, h_m + margin
+    area = max((x1 - x0) * (y1 - y0), 1e-9)
+    cell = math.sqrt(area / max(target_cells, 1))
+    nx = max(1, int(math.ceil((x1 - x0) / cell)))
+    ny = max(1, int(math.ceil((y1 - y0) / cell)))
+
+    # Cell rectangles (C, 1, 2) against edge endpoints (1, E, 2).
+    cxs = x0 + cell * np.arange(nx)
+    cys = y0 + cell * np.arange(ny)
+    lo = np.stack(
+        [np.tile(cxs, ny), np.repeat(cys, nx)], axis=-1
+    )  # (C, 2) cell min corner, row-major cell = cy * nx + cx
+    hi = lo + cell
+    a = packed_nodes[packed_edges[:n_real_edges, 0]].astype(np.float64)
+    b = packed_nodes[packed_edges[:n_real_edges, 1]].astype(np.float64)
+
+    def rect_dists(p):  # (E, 2) -> (C, E) min & max distance to rect
+        clamped = np.clip(p[None], lo[:, None], hi[:, None])
+        dmin = np.linalg.norm(clamped - p[None], axis=-1)
+        far = np.maximum(
+            np.abs(p[None] - lo[:, None]), np.abs(p[None] - hi[:, None])
+        )
+        dmax = np.linalg.norm(far, axis=-1)
+        return dmin, dmax
+
+    a_min, a_max = rect_dists(a)
+    b_min, b_max = rect_dists(b)
+    lb = a_min + b_min  # (C, E)
+    ub = a_max + b_max
+
+    n_layers = len(layer_bounds) - 1
+    keep = np.zeros_like(lb, dtype=bool)
+    for l in range(n_layers):
+        s, e = layer_bounds[l], layer_bounds[l + 1]
+        if e <= s:
+            continue
+        thresh = ub[:, s:e].min(axis=1, keepdims=True)
+        keep[:, s:e] = lb[:, s:e] <= thresh
+    per_layer_k = [
+        int(keep[:, layer_bounds[l]: layer_bounds[l + 1]].sum(axis=1).max())
+        if layer_bounds[l + 1] > layer_bounds[l]
+        else 0
+        for l in range(n_layers)
+    ]
+    k_tot = sum(per_layer_k)
+    if k_tot >= 0.9 * n_real_edges:
+        return None  # pruning would not pay on this map
+
+    ncells = nx * ny
+    cand_idx = np.full((ncells, k_tot), -1, dtype=np.int32)
+    out_bounds = tuple(np.cumsum([0] + per_layer_k).tolist())
+    for l in range(n_layers):
+        s, e = layer_bounds[l], layer_bounds[l + 1]
+        o = out_bounds[l]
+        for c in range(ncells):
+            (idx,) = np.nonzero(keep[c, s:e])
+            cand_idx[c, o: o + len(idx)] = idx + s
+    safe = np.maximum(cand_idx, 0)
+    cand_p0 = packed_nodes[packed_edges[safe, 0]]
+    cand_p1 = packed_nodes[packed_edges[safe, 1]]
+    return LanelineGrid(
+        origin=np.asarray([x0, y0], dtype=packed_nodes.dtype),
+        inv_cell=np.asarray(1.0 / cell, dtype=packed_nodes.dtype),
+        cand_idx=cand_idx,
+        cand_p0=cand_p0,
+        cand_p1=cand_p1,
+        nx=nx,
+        ny=ny,
+        layer_bounds=out_bounds,
+    )
+
+
+@struct.dataclass
 class MapData:
     """A compiled map. Laneline layers are stacked along a leading axis,
     all padded to the same Nmax/Emax so camera projection vmaps over them.
@@ -107,6 +231,9 @@ class MapData:
     packed_layer_bounds: Tuple[int, ...] = struct.field(
         pytree_node=False, default=()
     )
+    # Spatial-pruning grid for car_info's nearest-edge queries (see
+    # LanelineGrid); None = full scan (reference behavior everywhere).
+    laneline_grid: Optional[LanelineGrid] = None
     laneline_names: Tuple[str, ...] = struct.field(pytree_node=False, default=())
     pixel_per_meter: int = struct.field(pytree_node=False, default=1)
 
@@ -181,7 +308,10 @@ def compile_map(
     with open(map_path) as f:
         raw = json.load(f)
     return compile_map_data(raw, map_config.pixel_per_meter,
-                            spawn_points=map_config.spawn_points, dtype=dtype)
+                            spawn_points=map_config.spawn_points, dtype=dtype,
+                            query_grid=map_config.query_grid,
+                            query_grid_cells=map_config.query_grid_cells,
+                            query_grid_margin=map_config.query_grid_margin)
 
 
 def compile_map_data(
@@ -189,6 +319,9 @@ def compile_map_data(
     pixel_per_meter: float,
     spawn_points: Optional[Tuple[int, ...]] = None,
     dtype=jnp.float32,
+    query_grid: bool = True,
+    query_grid_cells: int = 4096,
+    query_grid_margin: Optional[float] = None,
 ) -> MapData:
     ppm = float(pixel_per_meter)
     height = raw["height"] / ppm
@@ -291,6 +424,21 @@ def compile_map_data(
     packed_edge_layer = np.zeros((ep,), np.int32)
     packed_edge_layer[: len(pk_lay)] = pk_lay
 
+    packed_bounds = tuple(
+        np.cumsum([0] + [l.n_edges for l in layer_arrays]).tolist()
+    )
+    grid = None
+    if query_grid:
+        grid = _build_laneline_grid(
+            np.asarray(packed_nodes, dtype=np.dtype(dtype)),
+            packed_edges,
+            int(len(pk_edges)),
+            packed_bounds,
+            (height, width),
+            query_grid_cells,
+            query_grid_margin,
+        )
+
     map_data = MapData(
         laneline_nodes=np.stack([l.nodes for l in layer_arrays]),
         laneline_node_mask=np.stack([l.node_mask for l in layer_arrays]),
@@ -300,9 +448,8 @@ def compile_map_data(
         packed_edges=packed_edges[None],
         packed_edge_mask=packed_edge_mask[None],
         packed_edge_layer=packed_edge_layer,
-        packed_layer_bounds=tuple(
-            np.cumsum([0] + [l.n_edges for l in layer_arrays]).tolist()
-        ),
+        packed_layer_bounds=packed_bounds,
+        laneline_grid=grid,
         laneline_colors=colors,
         lanepath=lanepath,
         spawns=spawns,

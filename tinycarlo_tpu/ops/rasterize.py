@@ -29,6 +29,17 @@ import jax
 import jax.numpy as jnp
 
 
+def _effective_platform() -> str:
+    """Platform the next computation will actually run on: honors an
+    active `jax.default_device(...)` context (the gym shim pins itself
+    to host CPU this way) before falling back to the process default
+    backend."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def _split_radii(thickness: int) -> Tuple[float, float]:
     """cv2-calibrated stroke geometry for t >= 2 (cv2 ThickLine draws a
     subpixel-exact filled rectangle + end-cap ellipses, drawing.cpp):
@@ -44,9 +55,14 @@ def _split_radii(thickness: int) -> Tuple[float, float]:
     return half + 0.5, float(half)
 
 
-def _stroke_radius_sq(thickness: int) -> float:
+def _stroke_radius_sq(thickness: int, stroke: str = "fast") -> float:
     """Squared band-extent radius (the largest distance at which any pixel
     can be painted) -- used for tile/band culling and compaction extents."""
+    if stroke == "exact" and thickness >= 2:
+        from tinycarlo_tpu.ops.cv2_stroke import stroke_y_extent
+
+        r = stroke_y_extent(thickness)
+        return r * r
     r = _split_radii(thickness)[0]
     return r * r
 
@@ -184,13 +200,22 @@ def _int_endpoints(p0: jnp.ndarray, p1: jnp.ndarray, dtype):
     return a, b
 
 
-def _segment_hit(px, py, ax, ay, bx, by, thickness: int, resolution):
+def _segment_hit(px, py, ax, ay, bx, by, thickness: int, resolution,
+                 stroke: str = "fast"):
     """Per-(pixel, segment) hit predicate matching cv2 stroke semantics:
     exact clipLine + 8-connected Bresenham at thickness 1 (bit-exact vs
-    cv2.line under float64), calibrated rectangle-body + end-cap stroke
-    for t >= 2 (_split_radii). Pixel coords broadcast against segment
-    coords."""
+    cv2.line under float64, either stroke mode); at t >= 2 either the
+    calibrated rectangle-body + end-cap stroke (stroke="fast",
+    _split_radii) or the bit-exact cv2 ThickLine replica
+    (stroke="exact", ops/cv2_stroke.py -- fill scanlines + Line2
+    outlines + circle caps, bit-equal to cv2.polylines under float64).
+    Pixel coords broadcast against segment coords."""
     dtype = px.dtype
+    if stroke == "exact" and thickness >= 2:
+        from tinycarlo_tpu.ops.cv2_stroke import thick_hit, thick_params
+
+        params = thick_params(ax, ay, bx, by, thickness, resolution)
+        return thick_hit(px, py, params, thickness)
     if thickness <= 1:
         cx1, cy1, cx2, cy2, acc = _clip_line_cv2(
             resolution[1], resolution[0], ax, ay, bx, by
@@ -221,6 +246,7 @@ def rasterize_masks(
     draw: jnp.ndarray,  # (L, E) bool
     resolution: Tuple[int, int],
     thickness: int = 1,
+    stroke: str = "fast",
 ) -> jnp.ndarray:
     """Rasterize per-layer segments into (L, H, W) uint8 {0,255} masks.
 
@@ -245,6 +271,7 @@ def rasterize_masks(
             b_l[:, 1],
             thickness,
             resolution,
+            stroke,
         )  # (H, W, E)
         hit = jnp.any(hit & draw_l, axis=-1)
         return jnp.where(hit, jnp.uint8(255), jnp.uint8(0))
@@ -260,6 +287,7 @@ def rasterize_rgb(
     resolution: Tuple[int, int],
     thickness: int = 1,
     masks: jnp.ndarray = None,
+    stroke: str = "fast",
 ) -> jnp.ndarray:
     """Composite per-layer masks into an (H, W, 3) uint8 RGB frame.
 
@@ -267,7 +295,8 @@ def rasterize_rgb(
     overlaps, matching cv2's sequential polylines (renderer.py:36-44).
     """
     if masks is None:
-        masks = rasterize_masks(p0, p1, draw, resolution, thickness)
+        masks = rasterize_masks(p0, p1, draw, resolution, thickness,
+                                stroke=stroke)
     h, w = resolution
     frame = jnp.zeros((h, w, 3), dtype=jnp.uint8)
     colors = colors.astype(jnp.uint8)
@@ -334,6 +363,7 @@ def rasterize_masks_auto(
     resolution: Tuple[int, int],
     thickness: int = 1,
     max_visible: int = None,
+    stroke: str = "fast",
 ) -> jnp.ndarray:
     """Backend dispatch: the Pallas visible-segment kernel on TPU, the
     tiled jnp formulation elsewhere (trace-time decision; both agree up
@@ -341,7 +371,12 @@ def rasterize_masks_auto(
     batched (B, ..., L, E, 2) segment arrays. `max_visible` bounds the
     number of drawn segments per layer-frame (see compact_visible); on
     CPU it compacts the segment axis before the dense tile test."""
-    if jax.default_backend() == "tpu":
+    if _effective_platform() == "tpu" and not (
+        stroke == "exact" and thickness >= 2
+    ):
+        # the Pallas stamps implement the fast stroke (and the exact
+        # t=1 Bresenham); exact t>=2 routes through the tiled XLA path
+        # below on every backend (correctness-first opt-in mode)
         from tinycarlo_tpu.ops.rasterize_pallas import rasterize_masks_pallas
 
         return rasterize_masks_pallas(
@@ -351,8 +386,8 @@ def rasterize_masks_auto(
         p0, p1, draw, _ = compact_visible(p0, p1, draw, max_visible)
     fn = rasterize_masks_tiled
     for _ in range(p0.ndim - 3):
-        fn = jax.vmap(fn, in_axes=(0, 0, 0, None, None))
-    return fn(p0, p1, draw, resolution, thickness)
+        fn = jax.vmap(fn, in_axes=(0, 0, 0, None, None, None))
+    return fn(p0, p1, draw, resolution, thickness, stroke)
 
 
 def rasterize_masks_packed_auto(
@@ -365,13 +400,16 @@ def rasterize_masks_packed_auto(
     thickness: int = 1,
     max_visible: int = None,
     layer_bounds: Tuple[int, ...] = None,
+    stroke: str = "fast",
 ) -> jnp.ndarray:
     """Packed-edge-axis variant of `rasterize_masks_auto` (see
     map_compiler packed_* arrays): (..., n_layers, H, W) masks. On TPU
     this feeds the env-merged Pallas kernel directly; elsewhere the
     packed axis is expanded to per-layer draw masks (broadcast views,
     no materialized copies) for the tiled path."""
-    if jax.default_backend() == "tpu":
+    if _effective_platform() == "tpu" and not (
+        stroke == "exact" and thickness >= 2
+    ):
         from tinycarlo_tpu.ops.rasterize_pallas import (
             rasterize_masks_packed_pallas,
         )
@@ -388,7 +426,8 @@ def rasterize_masks_packed_auto(
     p0_l = jnp.broadcast_to(p0[..., None, :, :], draw_l.shape + (2,))
     p1_l = jnp.broadcast_to(p1[..., None, :, :], draw_l.shape + (2,))
     return rasterize_masks_auto(
-        p0_l, p1_l, draw_l, resolution, thickness, max_visible=max_visible
+        p0_l, p1_l, draw_l, resolution, thickness, max_visible=max_visible,
+        stroke=stroke,
     )
 
 
@@ -405,6 +444,7 @@ def rasterize_masks_packed_auto_soa(
     max_visible: int = None,
     layer_bounds: Tuple[int, ...] = None,
     out_dtype=jnp.uint8,
+    stroke: str = "fast",
 ) -> jnp.ndarray:
     """`rasterize_masks_packed_auto` taking the projection's unstacked
     coordinate arrays: on TPU the SoA flows straight into compaction
@@ -413,7 +453,9 @@ def rasterize_masks_packed_auto_soa(
     `out_dtype=uint8` gives 0/255 observation masks; a float dtype gives
     0/1 masks for in-graph consumers (skips the uint8 materialization on
     TPU; the fallback converts after the fact, same values)."""
-    if jax.default_backend() == "tpu":
+    if _effective_platform() == "tpu" and not (
+        stroke == "exact" and thickness >= 2
+    ):
         from tinycarlo_tpu.ops.rasterize_pallas import (
             rasterize_masks_packed_pallas_soa,
         )
@@ -427,7 +469,7 @@ def rasterize_masks_packed_auto_soa(
     p1 = jnp.stack([u1, v1], axis=-1)
     masks = rasterize_masks_packed_auto(
         p0, p1, draw, edge_layer, n_layers, resolution, thickness,
-        max_visible=max_visible, layer_bounds=layer_bounds,
+        max_visible=max_visible, layer_bounds=layer_bounds, stroke=stroke,
     )
     if jnp.dtype(out_dtype) != jnp.uint8:
         masks = (masks > 0).astype(out_dtype)
@@ -440,6 +482,7 @@ def rasterize_masks_tiled(
     draw: jnp.ndarray,
     resolution: Tuple[int, int],
     thickness: int = 1,
+    stroke: str = "fast",
     tile_h: int = 8,
 ) -> jnp.ndarray:
     """Tiled rasterizer with per-row-tile segment culling.
@@ -455,7 +498,7 @@ def rasterize_masks_tiled(
     h, w = resolution
     dtype = p0.dtype
     a, b = _int_endpoints(p0, p1, dtype)
-    r = math.sqrt(_stroke_radius_sq(thickness))
+    r = math.sqrt(_stroke_radius_sq(thickness, stroke))
     n_tiles = (h + tile_h - 1) // tile_h
 
     ys = jax.lax.broadcasted_iota(dtype, (tile_h, w), 0)
@@ -479,6 +522,7 @@ def rasterize_masks_tiled(
                 b_l[:, 1],
                 thickness,
                 resolution,
+                stroke,
             )
             hit = jnp.any(hit & live, axis=-1)
             return jnp.where(hit, jnp.uint8(255), jnp.uint8(0))

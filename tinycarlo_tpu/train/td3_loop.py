@@ -51,6 +51,16 @@ class LoopConfig:
     # identical encoder inputs (0/1 exact in bf16/f32). Ignored when the
     # wrapper stack carries observation_fns (those are uint8-domain).
     obs_dtype: Optional[Any] = struct.field(pytree_node=False, default=None)
+    # Planned total episodes PER ENV for the reference's OU-sigma decay
+    # NOISE_SIGMA = 0.4 * (1 - episode_number / EPISODES)
+    # (train_td3.py:143,179). When set, each env's sigma follows that
+    # exact per-episode formula IN-GRAPH from its own episode counter
+    # (clamped at 0 past the plan); the host-side `sigma_target`
+    # mechanism is then unused. None keeps the host-driven level
+    # (LoopState.sigma_target) for open-ended runs.
+    total_episodes: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
 
 
 @struct.dataclass
@@ -69,6 +79,9 @@ class LoopState:
     # up at its own episode boundary.
     sigma: jnp.ndarray  # (B,)
     sigma_target: jnp.ndarray  # ()
+    # Per-env completed-episode counter, driving the in-graph sigma
+    # decay when LoopConfig.total_episodes is set.
+    ep_count: jnp.ndarray  # (B,) int32
 
 
 def init_loop(
@@ -100,6 +113,7 @@ def init_loop(
         key=k_loop,
         sigma=jnp.full((n_envs,), 0.4, jnp.float32),
         sigma_target=jnp.asarray(0.4, jnp.float32),
+        ep_count=jnp.zeros((n_envs,), jnp.int32),
     )
 
 
@@ -208,15 +222,27 @@ def chunk(
 
         done = term | trunc
         noise = jnp.where(done[:, None], 0.0, noise)
-        # episode boundary: adopt the host's current decay level
-        # (train_td3.py:179 -- sigma never changes mid-episode)
-        sigma = jnp.where(done, s.sigma_target, s.sigma)
+        ep_count = s.ep_count + done.astype(jnp.int32)
+        if loop_cfg.total_episodes is not None:
+            # episode boundary: the reference's exact per-episode decay
+            # NOISE_SIGMA = 0.4 * (1 - episode_number / EPISODES)
+            # (train_td3.py:179), per env from its own episode counter
+            level = 0.4 * jnp.maximum(
+                0.0, 1.0 - ep_count.astype(jnp.float32)
+                / loop_cfg.total_episodes,
+            )
+        else:
+            # host-driven decay level (open-ended runs)
+            level = jnp.broadcast_to(s.sigma_target, ep_count.shape)
+        # sigma never changes mid-episode (train_td3.py:179)
+        sigma = jnp.where(done, level, s.sigma)
         maneuver = jnp.where(
             done, jax.random.randint(k_m, (n_envs,), 0, 3, jnp.int32), s.maneuver
         )
         out = {
             "reward": rew,
             "done": done,
+            "sigma": sigma,
             "cte": info["cte"],
             # batch-mean per-laneline distances: the batched analogue of
             # the reference's per-step distance logging (vis_utils.py)
@@ -234,6 +260,7 @@ def chunk(
             td3_state=td3_state,
             key=key,
             sigma=sigma,
+            ep_count=ep_count,
         )
         return s, out
 
