@@ -171,3 +171,77 @@ def test_sp_env_observation_bit_equal():
         params, vstate.env, mesh, data_sharded=True, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got_dp), np.asarray(expected))
+
+
+def test_sp_chunk_bit_equal():
+    """The fused TD3 chunk with the SP observation renderer composed
+    INSIDE it (chunk(obs_render_fn=render_observation_batch_sp) under a
+    data x model mesh) is bit-equal to the unsharded chunk -- the
+    DP x TP x SP training step is one program, not a piecewise demo."""
+    from functools import partial
+
+    from tests.test_env import CONFIG
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu.parallel.sp import render_observation_batch_sp
+    from tinycarlo_tpu.train import td3
+    from tinycarlo_tpu.train.td3_loop import LoopConfig, chunk, init_loop
+
+    cfg_d = dict(CONFIG)
+    cfg_d["camera"] = dict(CONFIG["camera"], resolution=[16, 24])
+    params = fenv.make_env_params(cfg_d, dtype=jnp.float32)
+    mesh = parallel.make_mesh(model=2)
+
+    cfg = td3.TD3Config(seq_len=2, batch_size=4)
+    loop_cfg = LoopConfig(
+        replay_size=32, max_episode_steps=16, obs_dtype=jnp.float32
+    )
+    n_envs = 4
+
+    def encoder_apply(obs):
+        x = obs.astype(jnp.float32)
+        f = x.reshape(x.shape[0], -1)
+        pad = 256 - (f.shape[1] % 256)
+        f = jnp.pad(f, ((0, 0), (0, pad)))
+        return f.reshape(x.shape[0], -1, 256).mean(axis=1)
+
+    state0 = init_loop(params, cfg, loop_cfg, jax.random.key(0), n_envs)
+
+    base = partial(
+        chunk, params=params, cfg=cfg, loop_cfg=loop_cfg,
+        encoder_apply=encoder_apply, n_steps=3,
+    )
+    state_ref, out_ref = jax.jit(base)(state0)
+
+    sp_render = lambda p, env_state, out_dtype: (
+        render_observation_batch_sp(
+            p, env_state, mesh, data_sharded=True, out_dtype=out_dtype,
+            interpret=True,
+        )
+    )
+    with jax.sharding.set_mesh(mesh):
+        state_sp, out_sp = jax.jit(
+            partial(base, obs_render_fn=sp_render)
+        )(jax.device_get(state0))
+
+    for k in out_ref:
+        if k.endswith("_loss") or k == "laneline_distances":
+            # cross-batch REDUCTIONS (the update losses, the batch-mean
+            # distance diagnostic) compile under the mesh's SPMD
+            # partitioner, whose reduction order can differ by an f32
+            # ulp; every PER-ENV output and the ROLLOUT path (obs ->
+            # features -> replay) must be bitwise identical and are
+            # asserted exactly below
+            np.testing.assert_allclose(
+                np.asarray(out_ref[k]), np.asarray(out_sp[k]),
+                rtol=1e-6, err_msg=k,
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(out_ref[k]), np.asarray(out_sp[k]), err_msg=k
+            )
+    np.testing.assert_array_equal(
+        np.asarray(state_ref.queue), np.asarray(state_sp.queue)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_ref.buf.storage["x"]), np.asarray(state_sp.buf.storage["x"])
+    )

@@ -104,6 +104,7 @@ def render_observation_batch_sp(
     mesh: Mesh,
     data_sharded: bool = False,
     interpret: Optional[bool] = None,
+    out_dtype=jnp.uint8,
 ) -> jnp.ndarray:
     """`env.render_observation_batch` (classes format) with the packed
     segment axis sharded over the `model` mesh axis: each device projects
@@ -111,7 +112,12 @@ def render_observation_batch_sp(
     and runs the production Pallas kernel; a psum-OR composes the frame.
     This is the big-map path -- per-device projection/compaction work and
     segment memory scale with E/device. With `data_sharded=True` the env
-    batch is simultaneously DP-sharded over `data`.
+    batch is simultaneously DP-sharded over `data`. A float `out_dtype`
+    emits 0/1 masks for in-graph consumers (the fused TD3 chunk's
+    float-obs encoder feed, train/td3_loop.chunk(obs_render_fn=...)),
+    exactly like `env.render_observation_batch(out_dtype=...)`.
+    Always the fast-stroke Pallas stamp (camera.stroke is not consulted
+    here; the exact t>=2 mode has no sharded kernel).
     """
     from tinycarlo_tpu import camera as cam
     from tinycarlo_tpu.ops.rasterize_pallas import (
@@ -142,7 +148,8 @@ def render_observation_batch_sp(
         )
         hit = (part > 0).astype(jnp.int32)
         combined = jax.lax.psum(hit, MODEL_AXIS)
-        return jnp.where(combined > 0, jnp.uint8(255), jnp.uint8(0))
+        one = 255 if jnp.dtype(out_dtype) == jnp.uint8 else 1
+        return jnp.where(combined > 0, one, 0).astype(out_dtype)
 
     baxis = DATA_AXIS if data_sharded else None
     return jax.shard_map(

@@ -125,11 +125,19 @@ def chunk(
     encoder_apply,
     n_steps: int,
     stack: Optional[WrapperStack] = None,
+    obs_render_fn=None,
 ) -> Tuple[LoopState, Dict[str, jnp.ndarray]]:
     """Run `n_steps` fused rollout+train steps. `encoder_apply(obs_uint8)
     -> (B, F) features` (typically the frozen pretrained encoder,
     train_td3.py:66-67,152-155). Jit this with everything but `state`
     closed over / static.
+
+    `obs_render_fn(params, env_state, out_dtype) -> obs`, if given,
+    replaces the float-obs observation render inside the chunk -- the
+    composition point for a sharded renderer (e.g.
+    `parallel.sp.render_observation_batch_sp` under a device mesh makes
+    the WHOLE training step one DP x TP x SP program). Requires
+    `loop_cfg.obs_dtype` to be set (the float-obs feed).
     """
     n_envs = state.queue.shape[0]
 
@@ -171,9 +179,14 @@ def chunk(
             # obs never reaches the host: render 0/1 masks in the encoder's
             # dtype straight from the kernel (same post-auto-reset states
             # vector.step would render)
-            obs = fenv.render_observation_batch(
-                params, vstate.env, out_dtype=loop_cfg.obs_dtype
-            )
+            if obs_render_fn is not None:
+                obs = obs_render_fn(
+                    params, vstate.env, loop_cfg.obs_dtype
+                )
+            else:
+                obs = fenv.render_observation_batch(
+                    params, vstate.env, out_dtype=loop_cfg.obs_dtype
+                )
         f = encoder_apply(obs).astype(s.queue.dtype)
         queue = jnp.roll(s.queue, 1, axis=1).at[:, 0].set(f)
         buf = rb.add_batch(
