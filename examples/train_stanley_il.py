@@ -46,6 +46,10 @@ if __name__ == "__main__":
     n_samples = _arg("--samples", 25_000)
     n_steps = _arg("--steps", 10_000)
     n_envs = _arg("--envs", 16)
+    # --m2x N repeats the left maneuver N times per collection cycle
+    # (left turns are rare on loop maps; see train.il.collect_dataset)
+    m2x = _arg("--m2x", 1)
+    cycle = (0, 1, 2) + (2,) * (m2x - 1)
 
     params = fenv.make_env_params(default_config())
     cfg = ILConfig(steps=n_steps)
@@ -59,7 +63,8 @@ if __name__ == "__main__":
         print("Collecting training data:")
         st = time.perf_counter()
         X, M, Y = collect_dataset(
-            params, cfg, jax.random.key(0), n_samples, n_envs=n_envs
+            params, cfg, jax.random.key(0), n_samples, n_envs=n_envs,
+            maneuver_cycle=cycle,
         )
         print(
             f"collected {len(X)} samples in {time.perf_counter()-st:.1f}s "

@@ -282,3 +282,26 @@ def test_nearest_connected_edge():
     # dead end ahead: edge (2,3) has no successor -> invalid (reference None)
     _, valid = walk((3.0, 0), (2, 3))
     assert valid is False
+
+
+def test_take_rows_onehot_exact(monkeypatch):
+    """The one-hot-matmul lowering of take_rows (the TPU path) is
+    value-exact vs the native gather for float and integer tables."""
+    import numpy as _np
+
+    from tinycarlo_tpu import geometry as geo
+
+    rng = _np.random.default_rng(0)
+    tabf = jnp.asarray(rng.standard_normal((37, 2)))
+    tabi = jnp.asarray(rng.integers(-5, 1000, (37, 4)), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, 37, (11,)), jnp.int32)
+    scalar = jnp.asarray(13, jnp.int32)
+    expected = [tabf[idx], tabi[idx], tabf[scalar], tabi[scalar]]
+    monkeypatch.setattr(geo, "_onehot_takes", lambda: True)
+    got = [
+        geo.take_rows(tabf, idx), geo.take_rows(tabi, idx),
+        geo.take_rows(tabf, scalar), geo.take_rows(tabi, scalar),
+    ]
+    for e, g in zip(expected, got):
+        _np.testing.assert_array_equal(_np.asarray(e), _np.asarray(g))
+        assert e.dtype == g.dtype

@@ -16,6 +16,7 @@ from tinycarlo_tpu.map_compiler import compile_map
 
 
 def _maps(json_path, ppm, dtype, **grid_kw):
+    grid_kw.setdefault("query_grid", True)
     md_g = compile_map(
         MapConfig(json_path=json_path, pixel_per_meter=ppm, **grid_kw),
         dtype=dtype,

@@ -222,7 +222,7 @@ def find_local_path(
         ut_idx = jax.lax.cond(
             uturn_hint, _resnap, lambda: jnp.asarray(-1, jnp.int32)
         )
-    ut_edge = lp.edges[jnp.maximum(ut_idx, 0)]
+    ut_edge = geo.take_rows(lp.edges, jnp.maximum(ut_idx, 0))
     ut_valid = ut_idx >= 0
 
     # Connected-edge walk (car.py:135-137).
@@ -253,7 +253,9 @@ def find_local_path(
     for _ in range(LOOKAHEAD):
         base = jnp.where(fwd, cur[1], cur[0])
         nxt = geo.pick_node_given_orientation(
-            lp.nodes, base, walk_dir, lp.next_table[base], lp.next_count[base]
+            lp.nodes, base, walk_dir,
+            geo.take_rows(lp.next_table, base),
+            geo.take_rows(lp.next_count, base),
         )
         step_ok = ok & (nxt >= 0)
         hop = jnp.stack([base, nxt])
@@ -325,10 +327,40 @@ def car_info(map_data: MapData, cfg: CarConfig, state: CarState):
             .astype(jnp.int32), 0, g.ny - 1,
         )
         cell = cy * g.nx + cx
-        idxs = g.cand_idx[cell]  # (K,)
+        # One-hot routing instead of a row gather: under vmap the
+        # vector-matrix products lift to (B, C) x (C, K') MXU matmuls
+        # (the same trick as the rasterizer compaction), where a batched
+        # gather lowers to slow per-row dynamic slices. Exactness: each
+        # one-hot row has a single 1.0, so the accumulated value is the
+        # table entry bit-for-bit (Precision.HIGHEST keeps f32/f64
+        # inputs unrounded).
+        k_tot = g.cand_idx.shape[1]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (g.cand_idx.shape[0],), 0)
+            == cell
+        ).astype(state.position.dtype)
+        tab = jnp.concatenate(
+            [
+                g.cand_idx.astype(state.position.dtype),
+                g.cand_p0[..., 0], g.cand_p0[..., 1],
+                g.cand_p1[..., 0], g.cand_p1[..., 1],
+            ],
+            axis=1,
+        )  # (C, 5 * K)
+        row = jnp.einsum(
+            "c,ck->k", onehot, tab,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        idxs = row[:k_tot].astype(jnp.int32)
+        p0c = jnp.stack(
+            [row[k_tot: 2 * k_tot], row[2 * k_tot: 3 * k_tot]], axis=-1
+        )
+        p1c = jnp.stack(
+            [row[3 * k_tot: 4 * k_tot], row[4 * k_tot: 5 * k_tot]], axis=-1
+        )
         d = jnp.abs(
-            geo.distance(state.position, g.cand_p0[cell])
-            + geo.distance(state.position, g.cand_p1[cell])
+            geo.distance(state.position, p0c)
+            + geo.distance(state.position, p1c)
         )
         d = jnp.where(idxs >= 0, d, jnp.asarray(geo._BIG, d.dtype))
         gb = g.layer_bounds
@@ -349,14 +381,16 @@ def car_info(map_data: MapData, cfg: CarConfig, state: CarState):
         )
 
         def edge_distance(ei):
-            ne = pe[ei]
+            ne = geo.take_rows(pe, ei)
             inside = geo.within_edge_bounds(pn, ne, state.position)
             d_perp = jnp.abs(
                 geo.signed_distance_to_edge(pn, ne, state.position)
             )
             d_node = jnp.minimum(
-                geo.distance(state.position, pn[ne[0]]),
-                geo.distance(state.position_front, pn[ne[1]]),
+                geo.distance(state.position, geo.take_rows(pn, ne[0])),
+                geo.distance(
+                    state.position_front, geo.take_rows(pn, ne[1])
+                ),
             )
             return jnp.where(inside, d_perp, d_node)
 

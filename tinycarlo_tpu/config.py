@@ -80,10 +80,16 @@ class MapConfig:
     # map bbox inflated by `query_grid_margin` meters per side (None =
     # half the larger map dimension); positions beyond the inflated
     # bbox clamp to the boundary cell and may then deviate from the
-    # full scan -- unreachable under any terminating config. `False`
-    # restores the full scan; `query_grid_cells` targets the total
-    # cell count (actual count rounds to the map aspect ratio).
-    query_grid: bool = True
+    # full scan -- unreachable under any terminating config.
+    # DEFAULT OFF: on reference-sized maps (packed E ~264-740) the
+    # fused full scan is FASTER than the pruned query -- the dense
+    # elementwise scan fuses into the step program while the grid's
+    # candidate routing (one-hot matmul or row gather, both measured)
+    # adds ~0.2 ms/step at 4096 envs (docs/KERNELS.md round-4).
+    # Enable for maps with orders of magnitude more edges.
+    # `query_grid_cells` targets the total cell count (actual count
+    # rounds to the map aspect ratio).
+    query_grid: bool = False
     query_grid_cells: int = 4096
     query_grid_margin: Optional[float] = None
 

@@ -19,12 +19,57 @@ Conventions used throughout:
 from __future__ import annotations
 
 import math
+import os
 
+import jax
 import jax.numpy as jnp
 
 from tinycarlo_tpu.utils.helper import clip_angle
 
 _BIG = jnp.inf
+
+
+def _onehot_takes() -> bool:
+    """Route small-table row lookups through one-hot MXU matmuls on TPU
+    (trace-time decision). Batched gathers (a vmapped `table[idx]`)
+    lower to slow per-row dynamic slices on TPU, while a (B, N) x
+    (N, K) one-hot matmul runs on the MXU -- the same trick as the
+    rasterizer compaction routing. On CPU (tests, the gym shim's
+    device policy) the native gather is faster. TINYCARLO_GATHER=take
+    forces native gathers everywhere (A/B switch)."""
+    if os.environ.get("TINYCARLO_GATHER") == "take":
+        return False
+    from tinycarlo_tpu.ops.rasterize import _effective_platform
+
+    return _effective_platform() == "tpu"
+
+
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """`table[idx]` (idx any shape, first-axis lookup) that lowers to a
+    one-hot matmul on TPU. Value-exact: each one-hot row has a single
+    1.0, so the accumulation reproduces the table entry bit for bit
+    (Precision.HIGHEST keeps inputs unrounded); integer tables ride
+    through float exactly while |values| < 2^24 (node/edge indices and
+    degrees are far below)."""
+    if not _onehot_takes():
+        return table[idx]
+    n = table.shape[0]
+    tail = table.shape[1:]
+    as_int = jnp.issubdtype(table.dtype, jnp.integer)
+    ftab = table.reshape(n, -1)
+    fdtype = jnp.float32 if as_int else table.dtype
+    ftab = ftab.astype(fdtype)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, idx.shape + (n,), idx.ndim)
+        == idx[..., None]
+    ).astype(fdtype)
+    out = jnp.einsum(
+        "...n,nk->...k", oh, ftab, precision=jax.lax.Precision.HIGHEST
+    )
+    out = out.reshape(idx.shape + tail)
+    if as_int:
+        out = jnp.rint(out).astype(table.dtype)
+    return out
 
 
 def distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -103,8 +148,8 @@ def signed_distance_to_edge(
     degenerate (zero-length) edge falls into the "pointing down" branch.
     Reference: tinycarlo/layer.py:144-164.
     """
-    n1 = nodes[edge[..., 0]]
-    n2 = nodes[edge[..., 1]]
+    n1 = take_rows(nodes, edge[..., 0])
+    n2 = take_rows(nodes, edge[..., 1])
     lv = n2 - n1
     pv = position - n1
     vertical = lv[..., 0] == 0
@@ -123,7 +168,7 @@ def distance_to_node(
     nodes: jnp.ndarray, node_idx: jnp.ndarray, position: jnp.ndarray
 ) -> jnp.ndarray:
     """Distance to a node by index. Reference: tinycarlo/layer.py:166-177."""
-    return distance(position, nodes[node_idx])
+    return distance(position, take_rows(nodes, node_idx))
 
 
 def within_edge_bounds(
@@ -140,8 +185,8 @@ def within_edge_bounds(
     single self-loop edge): there atan2(0,0)=0 vs atan2(-0,-0)=-pi makes
     the reference's answer direction-dependent.
     """
-    n0 = nodes[edge[..., 0]]
-    n1 = nodes[edge[..., 1]]
+    n0 = take_rows(nodes, edge[..., 0])
+    n1 = take_rows(nodes, edge[..., 1])
     ev = n1 - n0
     v0 = position - n0
     v1 = position - n1
@@ -181,8 +226,8 @@ def pick_node_given_orientation(
     but then indexes the unfiltered list -- a latent bug that never fires
     because lane graphs have no self-loops; we index consistently.)
     """
-    n = nodes[node_idx]
-    cand_pos = nodes[jnp.maximum(candidates, 0)]
+    n = take_rows(nodes, node_idx)
+    cand_pos = take_rows(nodes, jnp.maximum(candidates, 0))
     ori = jnp.arctan2(cand_pos[..., 1] - n[..., 1], cand_pos[..., 0] - n[..., 0])
     diff = jnp.abs(clip_angle(ori - orientation))
     valid = candidates >= 0
@@ -213,17 +258,19 @@ def nearest_connected_edge(
     src = edge[..., 0]
     dst = edge[..., 1]
     next_node = pick_node_given_orientation(
-        nodes, dst, orientation, next_table[dst], next_count[dst]
+        nodes, dst, orientation, take_rows(next_table, dst),
+        take_rows(next_count, dst),
     )
     prev_node = pick_node_given_orientation(
-        nodes, src, orientation, prev_table[src], prev_count[src]
+        nodes, src, orientation, take_rows(prev_table, src),
+        take_rows(prev_count, src),
     )
     valid = (next_node >= 0) & (prev_node >= 0)
 
-    d0 = distance(position, nodes[src])
-    d1 = distance(position, nodes[dst])
-    dn = distance(position, nodes[jnp.maximum(next_node, 0)])
-    dp = distance(position, nodes[jnp.maximum(prev_node, 0)])
+    d0 = distance(position, take_rows(nodes, src))
+    d1 = distance(position, take_rows(nodes, dst))
+    dn = distance(position, take_rows(nodes, jnp.maximum(next_node, 0)))
+    dp = distance(position, take_rows(nodes, jnp.maximum(prev_node, 0)))
 
     fwd = (dn < d0) & (dn < d1)
     bwd = (dp < d0) & (dp < d1) & ~fwd

@@ -71,6 +71,11 @@ def _n_xblocks(w: int) -> int:
     strip of the stacked scratch. Windows then do half (w=160) to 1/5th
     (w=640) of the vector work per evaluated segment.
     """
+    if os.environ.get("TINYCARLO_NOSPLIT"):
+        # A/B toggle: one full-width window per copy (more vector rows,
+        # ~30% fewer copies -- relevant now that per-window mechanics,
+        # not vector issues, bound the kernel; docs/KERNELS.md round-4)
+        return 1
     return -(-w // _XB) if w > _XB else 1
 
 

@@ -255,10 +255,15 @@ def collect_dataset(
     n_samples: int,
     n_envs: int = 16,
     chunk_steps: int = 128,
+    maneuver_cycle=(0, 1, 2),
 ):
     """Fill (X, M, Y) arrays of `n_samples` expert transitions using
-    batched chunks; maneuvers cycle 0,1,2 per chunk like the reference's
-    per-episode cycle (train_stanley_il.py:104-107)."""
+    batched chunks; maneuvers cycle `maneuver_cycle` per chunk (default
+    0,1,2 like the reference's per-episode cycle,
+    train_stanley_il.py:104-107). A cycle like (0, 1, 2, 2) oversamples
+    the left maneuver, whose turns are rare on loop maps -- without it
+    the m=2 data is dominated by straight driving and the net
+    under-fits left turns (docs/TRAINING.md maneuver-2 caveat)."""
     collect = jax.jit(
         partial(
             collect_chunk,
@@ -273,14 +278,15 @@ def collect_dataset(
     chunk_i = 0
     while total < n_samples:
         key, sub = jax.random.split(key)
-        maneuver = jnp.full((n_envs,), chunk_i % 3, jnp.int32)
+        m_id = int(maneuver_cycle[chunk_i % len(maneuver_cycle)])
+        maneuver = jnp.full((n_envs,), m_id, jnp.int32)
         traj = jax.device_get(collect(sub, maneuver=maneuver))
         keep = traj["keep"].astype(bool)
         obs = traj["obs"][keep].reshape(-1, *traj["obs"].shape[2:])
         steer = traj["steering"][keep].reshape(-1)
         n = obs.shape[0]
         xs.append(obs)
-        ms.append(np.full(n, chunk_i % 3, np.float32))
+        ms.append(np.full(n, m_id, np.float32))
         ys.append(steer[:, None].astype(np.float32))
         total += n
         chunk_i += 1
