@@ -41,15 +41,23 @@ def _arg(flag, default):
     return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
 
 
-def our_eval(variables, maneuver, steps, episodes):
+def our_eval(variables, maneuver, steps, episodes, stroke="fast"):
+    import yaml
+
     from tinycarlo_tpu import env as fenv
     from tinycarlo_tpu.models import TinycarCombo
     from tinycarlo_tpu.train.evaluate import combo_policy, evaluate
 
-    params = fenv.make_env_params(
-        os.path.join(REPO, "examples/config_simple_layout.yaml"),
-        dtype=jnp.float32,
+    cfg_path = os.path.join(REPO, "examples/config_simple_layout.yaml")
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+    cfg["map"]["json_path"] = os.path.join(
+        REPO, "examples/maps/simple_layout.json"
     )
+    # --stroke exact: the bit-exact cv2 t>=2 stroke replica
+    # (ops/cv2_stroke.py) -- the checkpoint-portability configuration
+    cfg["camera"]["stroke"] = stroke
+    params = fenv.make_env_params(cfg, dtype=jnp.float32)
     pol = combo_policy(TinycarCombo(), variables)
     r = evaluate(
         pol, params, maneuver=maneuver, carry_init=None, steps=steps,
@@ -123,13 +131,17 @@ def reference_eval(variables, maneuver, steps, episodes):
 def main():
     steps = _arg("--steps", 500)
     episodes = _arg("--episodes", 4)
+    stroke = "exact" if "--stroke-exact" in sys.argv else (
+        sys.argv[sys.argv.index("--stroke") + 1]
+        if "--stroke" in sys.argv else "fast"
+    )
     from tinycarlo_tpu.models import load_pretrained
 
     variables = load_pretrained((3, 128, 160))
     assert variables is not None, "bundled pretrained combo missing"
     rows = []
     for maneuver in range(3):
-        ours = our_eval(variables, maneuver, steps, episodes)
+        ours = our_eval(variables, maneuver, steps, episodes, stroke=stroke)
         ref = reference_eval(variables, maneuver, steps, episodes)
         rows.append({"maneuver": maneuver, "ours": ours, "reference": ref})
         print(json.dumps(rows[-1]), flush=True)
@@ -143,6 +155,7 @@ def main():
         print(json.dumps({
             "metric": "policy-level renderer parity: per-maneuver "
                       "|cte_avg ours - cv2| / cv2",
+            "stroke": stroke,
             "gaps": [round(g, 3) for g in gaps],
         }))
 

@@ -62,6 +62,20 @@ _NB_PACK = 512
 _XB = 128
 
 
+def _scratch_dtype():
+    """Strip-scratch element type for the env-merged kernels.
+    TINYCARLO_SCRATCH=bf16 selects a bf16 scratch (bit-equal output;
+    Mosaic lacks sub-32-bit masked stores so the stamp pays a
+    read-select-write) -- measured a WASH vs f32 at the reference
+    workload (docs/KERNELS.md round-4): per-window cost is scalar/loop
+    mechanics, not store width. f32 stays the default."""
+    return (
+        jnp.bfloat16
+        if os.environ.get("TINYCARLO_SCRATCH") == "bf16"
+        else jnp.float32
+    )
+
+
 def _n_xblocks(w: int) -> int:
     """Lane blocks for a frame width: split only when w exceeds one tile.
 
@@ -123,6 +137,10 @@ def _window_hit(apx, apy, abx, aby, inv, live, stroke):
     all intermediate values are integer-valued f32 < 2^24 after
     clipping, with a residual correction keeping the floor division
     exact."""
+    if os.environ.get("TINYCARLO_STAMP") == "trivial":
+        # measurement-only: a near-free stamp isolating per-window
+        # mechanics (scalar loads, loop, slice setup) from vector math
+        return live & (apx + apy >= -1e9)
     if stroke[0] == "bres":
         ady = jnp.abs(aby)
         sy = jnp.where(aby >= 0.0, 1.0, -1.0)
@@ -1422,7 +1440,7 @@ def _kernel_env_rank(
 
     @pl.when(n > 0)
     def _live():
-        scratch[:] = jnp.zeros((nxb * hp, wb), jnp.float32)
+        scratch[:] = jnp.zeros((nxb * hp, wb), scratch.dtype)
 
         def load(s):
             e = idx_ref[0, 0, s]
@@ -1499,7 +1517,7 @@ def rasterize_env_rank(
         grid=(bsz,),
         in_specs=[smem_idx] + [smem_soa] * 6,
         out_specs=pl.BlockSpec((1, h, w), lambda i, c: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((nxb * hp, wb), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nxb * hp, wb), _scratch_dtype())],
     )
     return pl.pallas_call(
         kernel,
@@ -1579,6 +1597,7 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
     xs16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 1).astype(jnp.float32)
     ys16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 0).astype(jnp.float32)
 
+    sdt = scratch.dtype
     def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live, val=None):
         # scalar-unit folds keep the vector loop lean: the window row
         # offset rides in ay, and the live check rides in the compare
@@ -1592,15 +1611,31 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         # tests) and dynamic_slice rejects mixed index dtypes; deriving
         # it from y0 keeps both starts int32 in every mode.
         if rank_decode is None:
-            pltpu.store(
-                scratch.at[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])],
-                jnp.full((rows, scratch.shape[-1]), fill, jnp.float32),
-                mask=hit,
-            )
+            if sdt == jnp.float32:
+                pltpu.store(
+                    scratch.at[
+                        pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])
+                    ],
+                    jnp.full((rows, scratch.shape[-1]), fill, sdt),
+                    mask=hit,
+                )
+            else:
+                # Mosaic has no masked store for sub-32-bit data; the
+                # narrow-scratch variant pays a read-select-write RMW
+                # (half-width loads/stores, so issue count stays ~even
+                # with the f32 masked store)
+                cur = scratch[
+                    pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])
+                ]
+                scratch[
+                    pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])
+                ] = jnp.where(hit, sdt.type(fill), cur)
         else:
             cur = scratch[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])]
             scratch[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])] = (
-                jnp.maximum(cur, jnp.where(hit, val, 0.0))
+                jnp.maximum(
+                    cur, jnp.where(hit, val.astype(sdt), sdt.type(0))
+                )
             )
 
     def _decode(ay, bw):
@@ -1740,7 +1775,7 @@ def _kernel_env_idx(
                 @pl.when(count_ref[4 + l, i * group + g] > 0)
                 def _zero_strip(l=l):
                     scratch[l * nxb * hp : (l + 1) * nxb * hp] = jnp.zeros(
-                        (nxb * hp, wb), jnp.float32
+                        (nxb * hp, wb), scratch.dtype
                     )
 
             def load(s, g=g):
@@ -1849,7 +1884,9 @@ def rasterize_env_idx(
         out_specs=pl.BlockSpec(
             (group, n_layers, h, w), lambda i, c: (i, 0, 0, 0)
         ),
-        scratch_shapes=[pltpu.VMEM((n_layers * nxb * hp, wb), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((n_layers * nxb * hp, wb), _scratch_dtype())
+        ],
     )
     return pl.pallas_call(
         kernel,
@@ -1934,7 +1971,7 @@ def _kernel_env_dma(
                 @pl.when(count_ref[4 + l, env] > 0)
                 def _zero_strip(l=l):
                     scratch[l * nxb * hp : (l + 1) * nxb * hp] = jnp.zeros(
-                        (nxb * hp, wb), jnp.float32
+                        (nxb * hp, wb), scratch.dtype
                     )
 
             def load(s, g=g):
@@ -2053,7 +2090,7 @@ def rasterize_env_dma(
         in_specs=[smem_idx] + [smem_soa] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((n_layers * nxb * hp, wb), jnp.float32),
+            pltpu.VMEM((n_layers * nxb * hp, wb), _scratch_dtype()),
             pltpu.VMEM((nbuf, group, n_layers, h, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
