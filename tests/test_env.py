@@ -151,3 +151,31 @@ def test_rgb_observation_parity(reference, params):
     _, obs, _ = tenv.reset(p, jax.random.key(0), spawn_row=row)
     assert obs.shape == ref_obs.shape == (128, 160, 3)
     assert _iou(np.asarray(obs).sum(-1), ref_obs.sum(-1)) > 0.6
+
+
+def test_rgb_planar_matches_rgb():
+    """The rgb_planar extension is the rgb frame transposed to (3, H, W)
+    -- same pixels, lane-friendly layout (docs/KERNELS.md round-4)."""
+    import numpy as _np
+
+    cfg = dict(CONFIG)
+    cfg["camera"] = dict(CONFIG["camera"], resolution=[32, 40])
+    cfg["sim"] = dict(CONFIG["sim"], observation_space_format="rgb")
+    p_rgb = tenv.make_env_params(cfg, dtype=jnp.float64)
+    cfg2 = dict(cfg)
+    cfg2["sim"] = dict(cfg["sim"], observation_space_format="rgb_planar")
+    p_pl = tenv.make_env_params(cfg2, dtype=jnp.float64)
+    assert tenv.observation_shape(p_pl) == (3, 32, 40)
+
+    state = tenv.reset(p_rgb, jax.random.key(5))[0]
+    hwc = _np.asarray(tenv.render_observation(p_rgb, state))
+    planar = _np.asarray(tenv.render_observation(p_pl, state))
+    _np.testing.assert_array_equal(planar, _np.moveaxis(hwc, -1, 0))
+    assert hwc.sum() > 0
+
+    from tinycarlo_tpu import vector
+
+    vstate, _ = vector.reset(p_rgb, jax.random.key(6), 4, render=False)
+    hwc_b = _np.asarray(tenv.render_observation_batch(p_rgb, vstate.env))
+    pl_b = _np.asarray(tenv.render_observation_batch(p_pl, vstate.env))
+    _np.testing.assert_array_equal(pl_b, _np.moveaxis(hwc_b, -1, 1))

@@ -70,8 +70,15 @@ def make_env_params(
 def observation_shape(params: EnvParams) -> Tuple[int, ...]:
     """Reference: env.py:68-73."""
     h, w = params.cfg.camera.resolution
-    if params.cfg.sim.observation_space_format == "rgb":
+    fmt = params.cfg.sim.observation_space_format
+    if fmt == "rgb":
         return (h, w, 3)
+    if fmt == "rgb_planar":
+        # extension: channel-planar rgb -- same pixels as "rgb"
+        # transposed; the HWC layout materializes at 11-19 GB/s on v5e
+        # vs ~150-230 GB/s planar (docs/KERNELS.md round-4), so this is
+        # the throughput rgb contract
+        return (3, h, w)
     return (params.map_data.n_layers, h, w)
 
 
@@ -102,6 +109,10 @@ def _project_all_layers(params: EnvParams, car_state) -> Tuple[jnp.ndarray, ...]
 def _masks_to_obs(params: EnvParams, masks, draw_bundle, fmt):
     if fmt == "classes":
         return masks
+    if fmt == "rgb_planar":
+        return ras.rasterize_rgb_planar(
+            masks, params.map_data.laneline_colors
+        )
     p0, p1, draw = draw_bundle
     return ras.rasterize_rgb(
         p0,
@@ -245,7 +256,7 @@ def render_observation_batch(
     import os as _os
 
     if (
-        fmt == "rgb"
+        fmt in ("rgb", "rgb_planar")
         and ras._effective_platform() == "tpu"
         and _os.environ.get("TINYCARLO_RGB", "rank") == "rank"
         and not (cfg.camera.stroke == "exact"
@@ -265,6 +276,8 @@ def render_observation_batch(
             max_visible=cfg.camera.max_visible_segments,
             layer_bounds=md.packed_layer_bounds or None,
         )
+        if fmt == "rgb_planar":
+            return ras.rgb_planar_from_rank(rank, md.laneline_colors)
         return ras.rgb_from_rank(rank, md.laneline_colors)
     masks = ras.rasterize_masks_packed_auto_soa(
         u0, v0, u1, v1, draw, md.packed_edge_layer, md.n_layers,
@@ -276,6 +289,8 @@ def render_observation_batch(
     )
     if fmt == "classes":
         return masks
+    if fmt == "rgb_planar":
+        return ras.rasterize_rgb_planar(masks, md.laneline_colors)
     # rgb: composite the class masks by layer color (rasterize_rgb with
     # masks given never touches the endpoint arrays)
     return jax.vmap(

@@ -320,6 +320,39 @@ def rgb_from_rank(rank: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:
     return frame
 
 
+def rgb_planar_from_rank(rank, colors) -> "jnp.ndarray":
+    """(..., H, W) uint8 rank map -> (..., 3, H, W) uint8 PLANAR rgb.
+
+    Same pixel values as `rgb_from_rank` transposed; built channel-wise
+    (each channel is a full-lane-width select over the rank map), so the
+    output materializes in the lane-friendly planar layout. The HWC
+    (H, W, 3) layout materializes at only 11-19 GB/s on v5e (bare XLA
+    fill probe, docs/KERNELS.md round-4) vs ~150-230 GB/s planar -- the
+    planar contract is the throughput rgb format for in-graph consumers
+    (`observation_space_format: rgb_planar`)."""
+    colors = colors.astype(jnp.uint8)
+    chans = []
+    for c in range(3):
+        ch = jnp.zeros(rank.shape, jnp.uint8)
+        for l in range(colors.shape[0]):
+            ch = jnp.where(rank == l + 1, colors[l, c], ch)
+        chans.append(ch)
+    return jnp.stack(chans, axis=-3)
+
+
+def rasterize_rgb_planar(masks, colors) -> "jnp.ndarray":
+    """(..., L, H, W) masks -> (..., 3, H, W) uint8 planar rgb (paint
+    order = layer order, matching `rasterize_rgb`)."""
+    colors = colors.astype(jnp.uint8)
+    chans = []
+    for c in range(3):
+        ch = jnp.zeros(masks.shape[:-3] + masks.shape[-2:], jnp.uint8)
+        for l in range(colors.shape[0]):
+            ch = jnp.where(masks[..., l, :, :] > 0, colors[l, c], ch)
+        chans.append(ch)
+    return jnp.stack(chans, axis=-3)
+
+
 def compact_visible(
     p0: jnp.ndarray,  # (..., E, 2) float pixel coords
     p1: jnp.ndarray,
