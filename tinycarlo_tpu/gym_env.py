@@ -294,7 +294,12 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
             want_obs = (
                 not self.no_observation or self.render_mode is not None
             )
-            dbg = getenv("DEBUG")
+            import os as _os
+
+            # DEBUG=1: staged step timings (reference env.py:144-145);
+            # DEBUG=2: additionally per-layer camera timings
+            # (reference camera.py:99-109)
+            dbg = getenv("DEBUG") or _os.environ.get("DEBUG") == "2"
         if dbg:
             with self._on_device():
                 observation, reward, terminated, truncated, info = (
@@ -360,10 +365,35 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
             def project_only(params, state):
                 return fenv._project_all_layers(params, state.car)
 
+            def project_one(params, state, l):
+                md = params.map_data
+                body = cam.car_world_to_body_matrix(
+                    state.car.position, state.car.rotation
+                )
+                pose = params.camera.E @ body
+                return cam.project_layer(
+                    md.laneline_nodes[l], md.laneline_edges[l],
+                    md.laneline_edge_mask[l], pose, params.camera.K,
+                    params.cfg.camera.resolution, params.cfg.camera.max_range,
+                )
+
+            def raster_one(params, p0, p1, draw):
+                from tinycarlo_tpu.ops import rasterize as ras
+
+                return ras.rasterize_masks_auto(
+                    p0[None], p1[None], draw[None],
+                    params.cfg.camera.resolution,
+                    params.cfg.camera.line_thickness,
+                    max_visible=params.cfg.camera.max_visible_segments,
+                    stroke=params.cfg.camera.stroke,
+                )
+
             self._debug_fns = {
                 "car": jax.jit(car_only),
                 "info": jax.jit(fenv._info),
                 "project": jax.jit(project_only),
+                "project_one": jax.jit(project_one, static_argnames=("l",)),
+                "raster_one": jax.jit(raster_one),
             }
 
         st_step = time.perf_counter()
@@ -374,6 +404,32 @@ class TinyCarloEnv(gym.Env if gym is not None else object):
 
         st_obs = time.perf_counter()
         if want_obs:
+            import os as _os
+
+            if _os.environ.get("DEBUG") == "2":
+                # per-LAYER staging (reference camera.py:99-109 prints
+                # transform/clip/range/render per laneline layer; here
+                # projection is one fused op per layer, so the line
+                # reports project | rasterize per layer)
+                names = self.params.map_data.laneline_names
+                for l, name in enumerate(names):
+                    st_l = time.perf_counter()
+                    p0, p1, draw = jax.block_until_ready(
+                        self._debug_fns["project_one"](
+                            self.params, self.state, l
+                        )
+                    )
+                    td_p = time.perf_counter() - st_l
+                    jax.block_until_ready(
+                        self._debug_fns["raster_one"](
+                            self.params, p0, p1, draw
+                        )
+                    )
+                    print(
+                        f"camera layer {name}: project {td_p*1000:.4f} ms"
+                        f" | rasterize "
+                        f"{(time.perf_counter()-st_l-td_p)*1000:.4f} ms"
+                    )
             jax.block_until_ready(
                 self._debug_fns["project"](self.params, self.state)
             )
