@@ -224,11 +224,29 @@ def config4():
         rates.append(n_envs * chunk_steps / (time.perf_counter() - st))
     rates.sort()
     updates_per_sec = rates[2] / n_envs * loop_cfg.updates_per_step
+    # Pipelined rate: chunks dispatched back-to-back with ONE final sync
+    # -- what a real training loop does (the host consumes logs while
+    # the next chunk runs), hiding the ~16 ms/dispatch tunnel cost under
+    # the previous chunk's execution. The per-chunk rate above keeps the
+    # conservative sync-each-chunk protocol for continuity.
+    pipel = []
+    for _ in range(3):
+        st = time.perf_counter()
+        acc = None
+        for _ in range(5):
+            state, out = run(state)
+            r = out["reward"]
+            acc = r if acc is None else acc + r
+        float(np.asarray(acc).sum())  # one sync for all five
+        pipel.append(5 * n_envs * chunk_steps / (time.perf_counter() - st))
+    pipel.sort()
     print(json.dumps({
         "config": 4,
         "metric": "fused TD3 rollout+replay+update env-steps/s",
         "value": round(rates[2], 1),
         "spread": [round(rates[0], 1), round(rates[-1], 1)],
+        "pipelined_value": round(pipel[1], 1),
+        "pipelined_spread": [round(pipel[0], 1), round(pipel[-1], 1)],
         "n_envs": n_envs,
         "td3_updates_per_s": round(updates_per_sec, 1),
         "buffer_filled": int(np.asarray(state.buf.filled)),
