@@ -278,7 +278,16 @@ def compact_soa(
 
     segs = jnp.stack([ax0, ay0, bx0, by0, bwf], axis=-1)  # (B,L,E,5)
     if k < e:
-        _, idx = jax.lax.top_k(key, k)  # (B, L, k)
+        # Key dtype: int32. An ISOLATED top_k probe measures f32 keys
+        # ~30% faster (0.95 vs 1.37 ms at (4096, 528)) but the FUSED
+        # step is ~0.13 ms SLOWER with the cast (interleaved A/B,
+        # docs/KERNELS.md round-4) -- materializing the cast key breaks
+        # the fusion that hides key construction. TINYCARLO_SORTKEY=f32
+        # selects the float key (selection bit-identical either way:
+        # keys are distinct ints <= 3*LE << 2^24).
+        kdt = (jnp.float32 if os.environ.get("TINYCARLO_SORTKEY") == "f32"
+               else jnp.int32)
+        _, idx = jax.lax.top_k(key.astype(kdt), k)  # (B, L, k)
         onehot = (
             idx[..., None]
             == jax.lax.broadcasted_iota(jnp.int32, (bsz, nl, k, e), 3)
@@ -608,7 +617,16 @@ def compact_env_soa(
 
     segs = jnp.stack([ax0, ay0, bx0, by0, w2f], axis=-1)  # (B, LE, 5)
     if k < le:
-        _, idx = jax.lax.top_k(key, k)  # (B, k)
+        # Key dtype: int32. An ISOLATED top_k probe measures f32 keys
+        # ~30% faster (0.95 vs 1.37 ms at (4096, 528)) but the FUSED
+        # step is ~0.13 ms SLOWER with the cast (interleaved A/B,
+        # docs/KERNELS.md round-4) -- materializing the cast key breaks
+        # the fusion that hides key construction. TINYCARLO_SORTKEY=f32
+        # selects the float key (selection bit-identical either way:
+        # keys are distinct ints <= 3*LE << 2^24).
+        kdt = (jnp.float32 if os.environ.get("TINYCARLO_SORTKEY") == "f32"
+               else jnp.int32)
+        _, idx = jax.lax.top_k(key.astype(kdt), k)  # (B, k)
         onehot = (
             idx[..., None]
             == jax.lax.broadcasted_iota(jnp.int32, (bsz, k, le), 2)
@@ -983,7 +1001,16 @@ def compact_env_idx_soa(
     n_drop = n_elig - n_all
 
     if k < le:
-        _, idx = jax.lax.top_k(key, k)  # (B, k)
+        # Key dtype: int32. An ISOLATED top_k probe measures f32 keys
+        # ~30% faster (0.95 vs 1.37 ms at (4096, 528)) but the FUSED
+        # step is ~0.13 ms SLOWER with the cast (interleaved A/B,
+        # docs/KERNELS.md round-4) -- materializing the cast key breaks
+        # the fusion that hides key construction. TINYCARLO_SORTKEY=f32
+        # selects the float key (selection bit-identical either way:
+        # keys are distinct ints <= 3*LE << 2^24).
+        kdt = (jnp.float32 if os.environ.get("TINYCARLO_SORTKEY") == "f32"
+               else jnp.int32)
+        _, idx = jax.lax.top_k(key.astype(kdt), k)  # (B, k)
     else:
         idx = jnp.argsort(-key, axis=-1).astype(jnp.int32)
     # Pad slots (duplicates of the last): each tier's unrolled loop may
@@ -1143,7 +1170,16 @@ def compact_env_seg(
     n_drop = n_elig - n_all
 
     if k < le:
-        _, idx = jax.lax.top_k(key, k)  # (B, k)
+        # Key dtype: int32. An ISOLATED top_k probe measures f32 keys
+        # ~30% faster (0.95 vs 1.37 ms at (4096, 528)) but the FUSED
+        # step is ~0.13 ms SLOWER with the cast (interleaved A/B,
+        # docs/KERNELS.md round-4) -- materializing the cast key breaks
+        # the fusion that hides key construction. TINYCARLO_SORTKEY=f32
+        # selects the float key (selection bit-identical either way:
+        # keys are distinct ints <= 3*LE << 2^24).
+        kdt = (jnp.float32 if os.environ.get("TINYCARLO_SORTKEY") == "f32"
+               else jnp.int32)
+        _, idx = jax.lax.top_k(key.astype(kdt), k)  # (B, k)
     else:
         idx = jnp.argsort(-key, axis=-1).astype(jnp.int32)
     idx = jnp.concatenate([idx] + [idx[:, -1:]] * 7, axis=-1)
@@ -1976,6 +2012,11 @@ def _kernel_env_dma(
 
             def load(s, g=g):
                 e = idx_ref[g, 0, s]
+                if os.environ.get("TINYCARLO_NOLOAD"):
+                    # measurement-only: constant scalars isolate the SMEM
+                    # load share of per-window mechanics (output garbage)
+                    z = jnp.float32(0.0)
+                    return (z, z, z + 1.0, z, z + 1.0, e * 0 + 513)
                 return (
                     ax_ref[g, 0, e],
                     ay_ref[g, 0, e],
