@@ -634,3 +634,85 @@ def test_rank_kernel_odd_height_and_budget():
             expected = np.where(m[:, l] > 0, np.uint8(l + 1), expected)
         np.testing.assert_array_equal(np.asarray(rank), expected)
     assert np.asarray(rank).sum() > 0
+
+
+@pytest.mark.parametrize("t,w", [(2, 160), (3, 96), (5, 160), (2, 96)])
+def test_exact_stroke_kernel_bit_equal(t, w):
+    """The exact-stroke Pallas pipeline (compact_env_exact_soa +
+    rasterize_env_exact) is bit-equal to the dense stroke="exact" path
+    (itself bit-exact vs cv2.polylines, tests/test_cv2_stroke.py) --
+    lane split on and off, off-frame endpoints included."""
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        compact_env_exact_soa,
+        rasterize_env_exact,
+    )
+
+    rng = np.random.default_rng(40 + t)
+    H = 48
+    B, E, L = 3, 24, 3
+    u0 = jnp.asarray(rng.uniform(-40, w + 60, (B, 1, E)), jnp.float64)
+    v0 = jnp.asarray(rng.uniform(-40, 90, (B, 1, E)), jnp.float64)
+    u1 = u0 + jnp.asarray(rng.uniform(-80, 80, (B, 1, E)), jnp.float64)
+    v1 = v0 + jnp.asarray(rng.uniform(-40, 40, (B, 1, E)), jnp.float64)
+    draw = jnp.asarray(rng.random((B, 1, E)) < 0.8)
+    el = jnp.asarray(rng.integers(0, L, (E,)), jnp.int32)
+    from tinycarlo_tpu.ops.rasterize_pallas import _n_xblocks
+
+    soa = compact_env_exact_soa(
+        u0, v0, u1, v1, draw, E * _n_xblocks(w), 16, H, t,
+        edge_layer=el, n_layers=L, w=w,
+    )
+    got = rasterize_env_exact(soa, L, (H, w), t, interpret=True)
+    lay = el[None, :] == jnp.arange(L)[:, None]
+    p0 = jnp.stack([u0[:, 0], v0[:, 0]], -1)[:, None, :, :]
+    p1 = jnp.stack([u1[:, 0], v1[:, 0]], -1)[:, None, :, :]
+    dl = draw[:, 0][:, None, :] & lay[None]
+    exp = jnp.stack(
+        [
+            ras.rasterize_masks(
+                jnp.broadcast_to(p0[b], (L, E, 2)),
+                jnp.broadcast_to(p1[b], (L, E, 2)),
+                dl[b], (H, w), t, stroke="exact",
+            )
+            for b in range(B)
+        ]
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+    assert np.asarray(exp).sum() > 0
+
+
+def test_exact_stroke_auto_entry():
+    """rasterize_masks_packed_pallas_soa(stroke='exact') routes the
+    exact kernel and matches the dense exact path."""
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        rasterize_masks_packed_pallas_soa,
+    )
+
+    rng = np.random.default_rng(77)
+    H, W, t = 32, 160, 2
+    B, E, L = 2, 16, 2
+    u0 = jnp.asarray(rng.uniform(-10, W + 10, (B, E)), jnp.float64)
+    v0 = jnp.asarray(rng.uniform(-10, H + 10, (B, E)), jnp.float64)
+    u1 = u0 + jnp.asarray(rng.uniform(-50, 50, (B, E)), jnp.float64)
+    v1 = v0 + jnp.asarray(rng.uniform(-20, 20, (B, E)), jnp.float64)
+    draw = jnp.asarray(rng.random((B, E)) < 0.9)
+    el = jnp.asarray(rng.integers(0, L, (E,)), jnp.int32)
+    got = rasterize_masks_packed_pallas_soa(
+        u0, v0, u1, v1, draw, el, L, (H, W), t, interpret=True,
+        stroke="exact",
+    )
+    lay = el[None, :] == jnp.arange(L)[:, None]
+    p0 = jnp.stack([u0, v0], -1)[:, None, :, :]
+    p1 = jnp.stack([u1, v1], -1)[:, None, :, :]
+    dl = draw[:, None, :] & lay[None]
+    exp = jnp.stack(
+        [
+            ras.rasterize_masks(
+                jnp.broadcast_to(p0[b], (L, E, 2)),
+                jnp.broadcast_to(p1[b], (L, E, 2)),
+                dl[b], (H, W), t, stroke="exact",
+            )
+            for b in range(B)
+        ]
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))

@@ -60,12 +60,12 @@ class CameraConfig:
     max_visible_segments: Optional[int] = 128
     # Thickness >= 2 stroke semantics (extension; not part of the
     # reference YAML schema). "fast": the calibrated rectangle-body +
-    # end-cap stroke (rasterize._split_radii) used by the TPU Pallas
-    # kernels -- the throughput path. "exact": the bit-exact
-    # cv2.polylines thick-stroke replica (ops/cv2_stroke.py) for
-    # reference-checkpoint portability; runs on the tiled XLA
-    # rasterizer on every backend (slower). Thickness 1 is bit-exact in
-    # BOTH modes.
+    # end-cap stroke (rasterize._split_radii) -- the throughput path.
+    # "exact": the bit-exact cv2.polylines thick-stroke replica
+    # (ops/cv2_stroke.py) for reference-checkpoint portability; runs on
+    # a dedicated TPU Pallas kernel stamp (~3.5x the fast stamp's cost,
+    # docs/KERNELS.md round-4) and on the tiled XLA path on CPU.
+    # Thickness 1 is bit-exact in BOTH modes.
     stroke: str = "fast"
 
 

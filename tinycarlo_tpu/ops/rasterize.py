@@ -486,17 +486,17 @@ def rasterize_masks_packed_auto_soa(
     `out_dtype=uint8` gives 0/255 observation masks; a float dtype gives
     0/1 masks for in-graph consumers (skips the uint8 materialization on
     TPU; the fallback converts after the fact, same values)."""
-    if _effective_platform() == "tpu" and not (
-        stroke == "exact" and thickness >= 2
-    ):
+    if _effective_platform() == "tpu":
         from tinycarlo_tpu.ops.rasterize_pallas import (
             rasterize_masks_packed_pallas_soa,
         )
 
+        # stroke="exact" routes the bit-exact cv2 ThickLine kernel stamp
+        # (rasterize_pallas.compact_env_exact_soa / rasterize_env_exact)
         return rasterize_masks_packed_pallas_soa(
             u0, v0, u1, v1, draw, edge_layer, n_layers, resolution,
             thickness, max_visible=max_visible, layer_bounds=layer_bounds,
-            out_dtype=out_dtype,
+            out_dtype=out_dtype, stroke=stroke,
         )
     p0 = jnp.stack([u0, v0], axis=-1)
     p1 = jnp.stack([u1, v1], axis=-1)

@@ -137,10 +137,33 @@ def _window_hit(apx, apy, abx, aby, inv, live, stroke):
     all intermediate values are integer-valued f32 < 2^24 after
     clipping, with a residual correction keeping the floor division
     exact."""
-    if os.environ.get("TINYCARLO_STAMP") == "trivial":
+    stamp_env = os.environ.get("TINYCARLO_STAMP", "")
+    if stamp_env == "trivial":
         # measurement-only: a near-free stamp isolating per-window
         # mechanics (scalar loads, loop, slice setup) from vector math
         return live & (apx + apy >= -1e9)
+    if stamp_env.startswith("pad"):
+        # measurement-only: evaluate the split stroke N times with
+        # per-replica perturbations (un-CSE-able) to find where extra
+        # vector issues stop hiding under the window's fixed mechanics
+        n_pad = int(stamp_env[3:] or 1)
+        _, lat2, cap2 = stroke if stroke[0] == "split" else ("", 1.0, 1.0)
+        hit = None
+        for i in range(n_pad):
+            e = 1.0 + 1e-6 * i
+            tu = (apx * (abx * e) + apy * aby) * inv
+            t = jnp.clip(tu, 0.0, 1.0)
+            dx = apx - t * abx
+            dy = apy - t * aby
+            d2 = dx * dx + dy * dy
+            r2v = jnp.where(
+                (tu >= 0.0) & (tu <= 1.0),
+                jnp.where(live, lat2 * e, -1.0),
+                jnp.where(live, cap2 * e, -1.0),
+            )
+            h = d2 <= r2v
+            hit = h if hit is None else (hit & h)
+        return hit
     if stroke[0] == "bres":
         ady = jnp.abs(aby)
         sy = jnp.where(aby >= 0.0, 1.0, -1.0)
@@ -2240,6 +2263,7 @@ def rasterize_masks_packed_pallas_soa(
     interpret: bool = False,
     layer_bounds: Optional[Tuple[int, ...]] = None,
     out_dtype=jnp.uint8,
+    stroke: str = "fast",
 ) -> jnp.ndarray:
     """SoA-coordinate variant of `rasterize_masks_packed_pallas`: takes
     the projection's unstacked (..., E) coordinate arrays so the whole
@@ -2264,6 +2288,24 @@ def rasterize_masks_packed_pallas_soa(
     gran = 16
     u0, v0, u1, v1 = (x.reshape(-1, 1, e) for x in (u0, v0, u1, v1))
     draw = draw.reshape(-1, 1, e)
+    if stroke == "exact" and thickness >= 2:
+        # Bit-exact cv2 ThickLine stamp. Measured 26.5 vs 7.6 ms fused
+        # at the 4096-env reference workload -- the f32 pad probe's
+        # "free ops" budget does NOT extend to the stamp's int32
+        # multiplies, and the compaction's integer-division chains add
+        # 6.5 vs 1.7 ms (docs/KERNELS.md round-4). Still ~4x the tiled
+        # XLA fallback and fully on-TPU; the fast stroke remains the
+        # throughput default.
+        soa = compact_env_exact_soa(
+            u0, v0, u1, v1, draw, k, gran, h, thickness,
+            edge_layer=edge_layer, n_layers=n_layers, w=w,
+            layer_bounds=layer_bounds,
+        )
+        masks = rasterize_env_exact(
+            soa, n_layers, tuple(resolution), thickness, gran=gran,
+            split=True, interpret=interpret, out_dtype=out_dtype,
+        )
+        return masks.reshape(*lead, n_layers, h, w)
     # Index-indirection compaction (no one-hot routing matmul): measured
     # 3.0 -> 1.7 ms compaction / 9.5 -> 8.9 ms fused at the 4096-env
     # reference workload vs compact_env_soa (docs/KERNELS.md round-2).
@@ -2355,3 +2397,478 @@ def rasterize_masks_pallas(
         interpret=interpret,
     )
     return masks.reshape(*lead, nl, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Exact cv2 t >= 2 stroke in the Pallas kernel.
+#
+# The round-4 pad/NOLOAD/trivial-stamp probes (docs/KERNELS.md) showed
+# the window's f32 vector math and SMEM loads hide under per-window
+# mechanics -- but the exact stamp's INT32 multiplies do not (int mul
+# expands on the VPU), and the compaction's integer-division chains
+# (Line2 slopes, chain slopes: C-truncating division emulated in int32)
+# cost 6.5 vs 1.7 ms. Net: exact mode measures 26.5 vs 7.6 ms fused at
+# the reference workload -- ~4x faster than the tiled XLA fallback and
+# entirely on-TPU, shipped as the stroke="exact" path with the fast
+# stamp remaining the default. The per-slot scalars are precomputed by
+# cv2_stroke.thick_params during compaction and shipped as 30 int32
+# SMEM arrays (packed 16-bit pairs where fields fit).
+# ---------------------------------------------------------------------------
+
+_XBIAS = 4096  # packing bias so possibly-negative row/col fields stay >= 0
+
+
+def _pack16(lo, hi):
+    """(lo + bias, hi + bias) -> one nonneg int32 (both fields 16-bit)."""
+    return (lo + _XBIAS) | ((hi + _XBIAS) << 16)
+
+
+def compact_env_exact_soa(
+    u0: jnp.ndarray,  # (B, L, E) float pixel coords, SoA
+    v0: jnp.ndarray,
+    u1: jnp.ndarray,
+    v1: jnp.ndarray,
+    draw: jnp.ndarray,  # (B, L, E) bool
+    k: int,
+    gran: int,
+    h: int,
+    thickness: int,
+    edge_layer: Optional[jnp.ndarray] = None,
+    n_layers: Optional[int] = None,
+    w: Optional[int] = None,
+    layer_bounds: Optional[Tuple[int, ...]] = None,
+):
+    """Exact-stroke analogue of `compact_env_idx_soa`: same eligibility /
+    banding / lane-split / layer-fold / top_k routing, but the per-copy
+    payload is the cv2 ThickLine scalar bundle (cv2_stroke.thick_params)
+    shifted into block-local / stacked-strip coordinates.
+
+    Returns (idx, arrays, counts): idx (B, kp) int32 slot->copy map,
+    `arrays` a 26-tuple of (B, LE) int32, counts as in
+    compact_env_idx_soa (row 1, the one-band tier, always 0).
+    Array order (consumed positionally by `_tier_loops_exact`):
+      0  rowsP   = pack16(ymin_row', stop_row')
+      1  brkP    = pack16(brk_a', brk_b')
+      2-9  xs1a, dx1a, xs2a, dx2a, xs1b, dx1b, xs2b, dx2b  (fixed point)
+      10-13 m0nP per edge = pack16(m0', n)
+      14-17 v0 per edge   (fixed point, strip/block shifted)
+      18-21 st per edge
+      22 capP0 = pack16(cx0', cy0'), 23 capP1
+      24-27 d1P per edge = pack16(dot1x', dot1y') -- the far-endpoint
+            dot of each Line2 edge (the near dot coincides with the
+            DDA's k=0 pixel, enforced by n = max(n, 1))
+      28 flags = fill_ok | acc_e<<1.. | xmaj_e<<5..
+      29 bw    (band word, same layout as compact_env_idx_soa)
+    """
+    from tinycarlo_tpu.ops.cv2_stroke import stroke_y_extent, thick_params
+
+    # The exact-stroke precompute keeps the INPUT float dtype (f64 under
+    # the parity/test config): the Line2 scaled clip multiplies 16.16
+    # fixed-point coordinates, which f32 cannot carry exactly -- under
+    # f32 production the clip can drift one fixed-point ulp on clipped
+    # edges (the documented t=1-style caveat).
+    fdt = u0.dtype
+    lim = fdt.type(1_000_000.0)
+
+    def icast(x):
+        return jnp.clip(x, -lim, lim).astype(jnp.int32).astype(fdt)
+
+    ax0, ay0, bx0, by0 = icast(u0), icast(v0), icast(u1), icast(v1)
+    bsz, nl, e = ax0.shape
+
+    P = thick_params(ax0, ay0, bx0, by0, thickness, (h, w))
+    p0x, p0y = P["cap0x"], P["cap0y"]  # clipped integer endpoints
+    p1x, p1y = P["cap1x"], P["cap1y"]
+    acc = P["accept"]
+
+    rf = float(stroke_y_extent(thickness))
+    n_bands, hp, win = _window_rows(gran, h)
+    n_frames = nl if edge_layer is None else n_layers
+    nxb = _n_xblocks(w) if w is not None else 1
+    assert n_bands < _NB_PACK, "frame too tall for the packed band word"
+    assert n_frames * nxb * n_bands < (1 << 24) // _NB_PACK, (
+        "stacked frames too tall for band word"
+    )
+    yloi = jnp.minimum(p0y, p1y).astype(jnp.float32) - rf
+    yhii = jnp.maximum(p0y, p1y).astype(jnp.float32) + rf
+    b0 = jnp.clip(jnp.floor(yloi / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
+    b1 = jnp.clip(jnp.floor(yhii / gran), 0.0, n_bands - 1.0).astype(jnp.int32)
+    valid = (yhii >= 0.0) & (yloi <= h - 1.0) & draw & acc
+    nb = jnp.where(valid, b1 + 1 - b0, 0)
+    b0c = jnp.minimum(b0, (hp - win) // gran)
+    if edge_layer is None:
+        lay = jax.lax.broadcasted_iota(jnp.int32, draw.shape, 1)
+    else:
+        lay = jnp.broadcast_to(edge_layer[None, None, :], draw.shape)
+
+    xloi = jnp.minimum(p0x, p1x).astype(jnp.float32) - rf
+    xhii = jnp.maximum(p0x, p1x).astype(jnp.float32) + rf
+
+    edges_p = P["edges"]  # list of 4 dicts
+    if nxb > 1:
+        bidx = jnp.arange(nxb, dtype=jnp.int32)
+        xoff = bidx * _XB
+        xofff = xoff.astype(jnp.float32)
+        touch = (xloi[..., None] <= xofff + (_XB - 1)) & (
+            xhii[..., None] >= xofff
+        )
+        ex = lambda x: jnp.broadcast_to(x[..., None], x.shape + (nxb,))
+        nb = jnp.where(touch, nb[..., None], 0)
+        b0c = ex(b0c)
+        frame = ex(lay) * nxb + bidx
+        xs = xoff  # per-copy lane shift
+    else:
+        ex = lambda x: x
+        frame = lay
+        xs = jnp.zeros((), jnp.int32)
+
+    roff = frame * hp  # stacked strip row offset, int32
+    bw = (frame * n_bands + b0c) * _NB_PACK + nb
+
+    # --- assemble the shifted bundle (broadcast helper `ex` adds the
+    # block axis when split) -------------------------------------------------
+    xshift16 = (xs << 16) if nxb > 1 else jnp.zeros((), jnp.int32)
+    rowsP = _pack16(ex(P["ymin_row"]) + roff, ex(P["stop_row"]) + roff)
+    brkP = _pack16(ex(P["brk_a"]) + roff, ex(P["brk_b"]) + roff)
+    chains = [
+        ex(P["xs1_a"]) - xshift16, ex(P["dx1_a"]),
+        ex(P["xs2_a"]) - xshift16, ex(P["dx2_a"]),
+        ex(P["xs1_b"]) - xshift16, ex(P["dx1_b"]),
+        ex(P["xs2_b"]) - xshift16, ex(P["dx2_b"]),
+    ]
+    m0n, v0s, sts, d1s = [], [], [], []
+    for ed in edges_p:
+        xm = ex(ed["xmaj"])
+        m0p = jnp.where(xm, ex(ed["m0"]) - xs, ex(ed["m0"]) + roff)
+        v0p = jnp.where(
+            xm, ex(ed["v0"]) + (roff << 16), ex(ed["v0"]) - xshift16
+        )
+        # n = max(n, 1): the rounded-start dot coincides with the k=0
+        # DDA pixel (same formula), so forcing one pixel realizes it
+        # even for major-degenerate clipped edges
+        nn = jnp.minimum(jnp.maximum(ed["n"], 1), 32767 - _XBIAS)
+        m0n.append(_pack16(m0p, ex(nn)))
+        v0s.append(v0p)
+        sts.append(ex(ed["st"]))
+        d1s.append(_pack16(ex(ed["d1x"]) - xs, ex(ed["d1y"]) + roff))
+    capP0 = _pack16(ex(p0x) - xs, ex(p0y) + roff)
+    capP1 = _pack16(ex(p1x) - xs, ex(p1y) + roff)
+    flags = ex(
+        P["fill_ok"].astype(jnp.int32)
+        | (edges_p[0]["acc"].astype(jnp.int32) << 1)
+        | (edges_p[1]["acc"].astype(jnp.int32) << 2)
+        | (edges_p[2]["acc"].astype(jnp.int32) << 3)
+        | (edges_p[3]["acc"].astype(jnp.int32) << 4)
+        | (edges_p[0]["xmaj"].astype(jnp.int32) << 5)
+        | (edges_p[1]["xmaj"].astype(jnp.int32) << 6)
+        | (edges_p[2]["xmaj"].astype(jnp.int32) << 7)
+        | (edges_p[3]["xmaj"].astype(jnp.int32) << 8)
+    )
+    if nxb > 1:
+        flags = jnp.broadcast_to(flags, nb.shape)
+        rowsP = jnp.broadcast_to(rowsP, nb.shape)
+        brkP = jnp.broadcast_to(brkP, nb.shape)
+        chains = [jnp.broadcast_to(c, nb.shape) for c in chains]
+        m0n = [jnp.broadcast_to(x, nb.shape) for x in m0n]
+        v0s = [jnp.broadcast_to(x, nb.shape) for x in v0s]
+        sts = [jnp.broadcast_to(x, nb.shape) for x in sts]
+        capP0 = jnp.broadcast_to(capP0, nb.shape)
+        capP1 = jnp.broadcast_to(capP1, nb.shape)
+
+    arrays = [rowsP, brkP, *chains, *m0n, *v0s, *sts, capP0, capP1,
+              *d1s, flags, bw]
+
+    le = nl * e * nxb
+    flat = lambda x: x.reshape(bsz, le)
+    arrays = tuple(flat(x) for x in arrays)
+    draw2 = flat(nb > 0)
+    tall = flat(nb > win // gran)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bsz, le), 1)
+    key = jnp.where(draw2, jnp.where(tall, le - iota, 2 * le - iota), -iota)
+    n_elig = jnp.sum(draw2, axis=-1).astype(jnp.int32)
+    n_all = jnp.minimum(n_elig, k)
+    n_short = jnp.minimum(jnp.sum(draw2 & ~tall, axis=-1), k).astype(
+        jnp.int32
+    )
+    n_drop = n_elig - n_all
+
+    if k < le:
+        kdt = (jnp.float32 if os.environ.get("TINYCARLO_SORTKEY") == "f32"
+               else jnp.int32)
+        _, idx = jax.lax.top_k(key.astype(kdt), k)
+    else:
+        idx = jnp.argsort(-key, axis=-1).astype(jnp.int32)
+    idx = jnp.concatenate([idx] + [idx[:, -1:]] * 7, axis=-1)
+
+    n_out_layers = nl if edge_layer is None else n_layers
+    if edge_layer is None:
+        bounds = tuple(range(0, (nl + 1) * e, e))
+    else:
+        bounds = layer_bounds
+    if bounds is not None and len(bounds) == n_out_layers + 1:
+        per_layer = jnp.stack(
+            [
+                jnp.sum(
+                    draw2[:, bounds[l] * nxb: bounds[l + 1] * nxb],
+                    axis=-1, dtype=jnp.int32,
+                )
+                for l in range(n_out_layers)
+            ],
+            axis=-1,
+        )
+    else:
+        lay_flat = flat(jnp.broadcast_to(
+            lay[..., None] if nxb > 1 else lay, nb.shape))
+        onehot_l = lay_flat[:, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (bsz, n_out_layers, le), 1
+        )
+        per_layer = jnp.sum(
+            draw2[:, None, :] & onehot_l, axis=-1, dtype=jnp.int32
+        )
+    zero = jnp.zeros_like(n_all)
+    counts = jnp.concatenate(
+        [jnp.stack([n_all, zero, n_short, n_drop]), per_layer.T], axis=0
+    )
+    return idx, arrays, counts
+
+
+def _tier_loops_exact(load, scratch, n, n_short, wb, thickness, gran, win):
+    """Two-tier slot loops with the BIT-EXACT cv2 ThickLine window stamp.
+
+    `load(s)` returns the 30-tuple from `compact_env_exact_soa` for slot
+    s's copy. The predicate reproduces ops/cv2_stroke.thick_hit in
+    int32 window arithmetic: scanfill spans from the two chain
+    interpolations, four Line2 DDA predicates (+ their far-endpoint
+    dots; the near dot is the k=0 DDA pixel), and the two cap circles
+    via the static half-width table. All values arrive pre-shifted into
+    block-local lane / stacked-strip coordinates, so `xi` is the lane
+    iota and `yi` the strip row."""
+    from tinycarlo_tpu.ops.cv2_stroke import cap_radius, cap_table
+
+    wtab = cap_table(cap_radius(thickness))
+    xs16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 1)
+    ys16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 0)
+    xs8 = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 1)
+    ys8 = jax.lax.broadcasted_iota(jnp.int32, (gran, wb), 0)
+
+    def unpack(p):
+        return (p & 0xFFFF) - _XBIAS, (p >> 16) - _XBIAS
+
+    def stamp(xi, ysr, rows, y0, vals, live):
+        (rowsP, brkP,
+         xs1a, dx1a, xs2a, dx2a, xs1b, dx1b, xs2b, dx2b,
+         m0n0, m0n1, m0n2, m0n3,
+         v00, v01, v02, v03,
+         st0, st1, st2, st3,
+         capP0, capP1, d1P0, d1P1, d1P2, d1P3, flags, _bw) = vals
+        yi = ysr + y0  # strip rows, int32 (rows, wb)
+        ymin, ystop = unpack(rowsP)
+        brka, brkb = unpack(brkP)
+        ya = yi - ymin
+        x_a = jnp.where(
+            yi < brka, xs1a + dx1a * ya, xs2a + dx2a * (yi - brka)
+        )
+        x_b = jnp.where(
+            yi < brkb, xs1b + dx1b * ya, xs2b + dx2b * (yi - brkb)
+        )
+        lo = (jnp.minimum(x_a, x_b) + HALF16) >> 16
+        hi = (jnp.maximum(x_a, x_b) + HALF16) >> 16
+        hit = (
+            ((flags & 1) > 0)
+            & (yi >= ymin) & (yi <= ystop) & (xi >= lo) & (xi <= hi)
+        )
+        for i, (m0n, v0, st, d1P) in enumerate((
+            (m0n0, v00, st0, d1P0), (m0n1, v01, st1, d1P1),
+            (m0n2, v02, st2, d1P2), (m0n3, v03, st3, d1P3),
+        )):
+            acc = ((flags >> (1 + i)) & 1) > 0
+            xmaj = ((flags >> (5 + i)) & 1) > 0
+            m0, nn = unpack(m0n)
+            kk = jnp.where(xmaj, xi, yi) - m0
+            mino = jnp.where(xmaj, yi, xi)
+            val = (v0 + kk * st) >> 16
+            hit = hit | (acc & (kk >= 0) & (kk < nn) & (mino == val))
+            d1x, d1y = unpack(d1P)
+            hit = hit | (acc & (xi == d1x) & (yi == d1y))
+        for capP in (capP0, capP1):
+            cx, cy = unpack(capP)
+            m = jnp.abs(yi - cy)
+            hw = jnp.full_like(m, -1)
+            for off, half_w in enumerate(wtab):
+                hw = jnp.where(m == off, half_w, hw)
+            hit = hit | (jnp.abs(xi - cx) <= hw)
+        hit = hit & live
+        # f32 scratch, masked store (as the fast stamp)
+        pltpu.store(
+            scratch.at[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])],
+            jnp.full((rows, scratch.shape[-1]), 255.0, jnp.float32),
+            mask=hit,
+        )
+
+    def win16(s):
+        vals = load(s)
+        bw = vals[-1]
+        b0 = bw // _NB_PACK
+        nb = bw - b0 * _NB_PACK
+        stamp(xs16, ys16, win, b0 * gran, vals, nb > 0)
+        return vals, b0, nb
+
+    import os as _os
+    unroll = int(_os.environ.get("TINYCARLO_UNROLL", 8))
+
+    def pack(p, _):
+        for u in range(unroll):
+            win16(unroll * p + u)
+        return 0
+
+    jax.lax.fori_loop(0, (n_short + unroll - 1) // unroll, pack, 0)
+
+    def tall_one(s, _):
+        vals, b0, nb = win16(s)
+
+        def tail(bi, _):
+            stamp(xs8, ys8, gran, bi * gran, vals, nb > 0)
+            return 0
+
+        jax.lax.fori_loop(b0 + win // gran, b0 + nb, tail, 0)
+        return 0
+
+    jax.lax.fori_loop(n_short, n, tall_one, 0)
+
+
+HALF16 = 1 << 15
+
+
+def _kernel_env_exact(
+    count_ref,
+    idx_ref,
+    *rest,
+    n_layers,
+    h,
+    hp,
+    w,
+    thickness,
+    gran,
+    win,
+    nxb,
+    out_dtype=jnp.uint8,
+):
+    """Env-merged blocked-output kernel with the exact cv2 stroke stamp
+    (see `_tier_loops_exact`). Structure mirrors `_kernel_env_idx` at
+    group=1."""
+    refs = rest[:-2]
+    out_ref, scratch = rest[-2], rest[-1]
+    wb = _XB if nxb > 1 else w
+    i = pl.program_id(0)
+    as_uint8 = out_dtype == jnp.uint8
+
+    n = count_ref[0, i]
+    n_short = count_ref[2, i]
+
+    @pl.when(n == 0)
+    def _empty():
+        for l in range(n_layers):
+            out_ref[0, l] = jnp.zeros((h, w), out_dtype)
+
+    @pl.when(n > 0)
+    def _live():
+        for l in range(n_layers):
+            @pl.when(count_ref[4 + l, i] > 0)
+            def _zero_strip(l=l):
+                scratch[l * nxb * hp: (l + 1) * nxb * hp] = jnp.zeros(
+                    (nxb * hp, wb), jnp.float32
+                )
+
+        def load(s):
+            e = idx_ref[0, 0, s]
+            return tuple(r[0, 0, e] for r in refs)
+
+        _tier_loops_exact(load, scratch, n, n_short, wb, thickness,
+                          gran, win)
+        for l in range(n_layers):
+            liv = count_ref[4 + l, i] > 0
+
+            @pl.when(liv)
+            def _convert(l=l):
+                if nxb == 1:
+                    frame = scratch[l * hp: l * hp + h]
+                else:
+                    strips = [
+                        scratch[(l * nxb + bl) * hp: (l * nxb + bl) * hp + h]
+                        for bl in range(nxb)
+                    ]
+                    frame = jnp.concatenate(strips, axis=1)[:, :w]
+                if as_uint8:
+                    out_ref[0, l] = frame.astype(jnp.int32).astype(jnp.uint8)
+                else:
+                    out_ref[0, l] = frame.astype(out_dtype)
+
+            @pl.when(jnp.logical_not(liv))
+            def _zero(l=l):
+                out_ref[0, l] = jnp.zeros((h, w), out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_layers", "resolution", "thickness", "gran", "split",
+        "interpret", "out_dtype",
+    ),
+)
+def rasterize_env_exact(
+    soa,  # from compact_env_exact_soa
+    n_layers: int,
+    resolution: Tuple[int, int],
+    thickness: int,
+    gran: int = 16,
+    split: bool = True,
+    interpret: bool = False,
+    out_dtype=jnp.uint8,
+) -> jnp.ndarray:
+    """(B, L, H, W) masks via the exact-stroke kernel."""
+    idx, arrays, counts = soa
+    h, w = resolution
+    bsz, le = arrays[0].shape
+    kp = idx.shape[-1]
+    _, hp, win = _window_rows(gran, h)
+    nxb = _n_xblocks(w) if split else 1
+    out_dtype = jnp.dtype(out_dtype)
+    kernel = functools.partial(
+        _kernel_env_exact,
+        n_layers=n_layers,
+        h=h,
+        hp=hp,
+        w=w,
+        thickness=int(thickness),
+        gran=gran,
+        win=win,
+        nxb=nxb,
+        out_dtype=out_dtype,
+    )
+    smem_idx = pl.BlockSpec(
+        (1, 1, kp), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    smem_soa = pl.BlockSpec(
+        (1, 1, le), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    wb = _XB if nxb > 1 else w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz,),
+        in_specs=[smem_idx] + [smem_soa] * len(arrays),
+        out_specs=pl.BlockSpec(
+            (1, n_layers, h, w), lambda i, c: (i, 0, 0, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((n_layers * nxb * hp, wb), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n_layers, h, w), out_dtype),
+        interpret=interpret,
+    )(
+        counts,
+        idx.reshape(bsz, 1, kp),
+        *(x.reshape(bsz, 1, le) for x in arrays),
+    )
