@@ -38,6 +38,17 @@ REFERENCE_PATH = "/root/reference"
 # Measured with --durations: everything >= ~4s lands here.
 # ---------------------------------------------------------------------------
 _SLOW_TESTS = {
+    "test_cv2_stroke.py": {
+        "test_host_oracle_bit_exact",
+        "test_jnp_predicate_bit_exact",
+        "test_dense_and_tiled_exact_stroke",
+    },
+    "test_rasterize_pallas.py": {
+        "test_exact_stroke_kernel_bit_equal",
+    },
+    "test_query_grid.py": {
+        "test_grid_matches_full_scan_knuffingen",
+    },
     "test_env.py": {
         "test_observation_parity_vs_reference",
         "test_jit_and_vmap_consistency",
