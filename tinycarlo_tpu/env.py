@@ -226,7 +226,7 @@ def check_segment_overflow(params: EnvParams, states: EnvState) -> jnp.ndarray:
     p0, p1, draw = _project_packed_batch(params, states)
     return segment_overflow(
         p0, p1, draw, cfg.camera.resolution, cfg.camera.line_thickness,
-        cfg.camera.max_visible_segments,
+        cfg.camera.max_visible_segments, stroke=cfg.camera.stroke,
     )
 
 

@@ -2180,6 +2180,7 @@ def segment_overflow(
     thickness: int,
     max_visible: Optional[int],
     gran: int = 8,
+    stroke: str = "fast",
 ) -> jnp.ndarray:
     """Per-env count of eligible slot copies DROPPED by the compaction
     budget -- the detection hook for `max_visible` oversubscription.
@@ -2209,7 +2210,9 @@ def segment_overflow(
         ax0, ay0, bx0, by0, draw = _clip_normalize_t1(
             w, h, ax0, ay0, bx0, by0, draw
         )
-    rf = float(_stroke_radius_sq(thickness)) ** 0.5
+    # the exact stroke's band/culling radius is wider (stroke_y_extent),
+    # so the eligibility count matches the mode actually rendering
+    rf = float(_stroke_radius_sq(thickness, stroke)) ** 0.5
     ylo = jnp.minimum(ay0, by0) - rf
     yhi = jnp.maximum(ay0, by0) + rf
     elig = (yhi >= 0.0) & (ylo <= h - 1.0) & draw
