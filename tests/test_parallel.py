@@ -173,6 +173,65 @@ def test_sp_env_observation_bit_equal():
     np.testing.assert_array_equal(np.asarray(got_dp), np.asarray(expected))
 
 
+def test_sp_exact_stroke_bit_equal():
+    """SP honors camera.stroke="exact" (round-4 verdict item 3): the
+    sharded renderer routes the bit-exact cv2 t>=2 stamp per shard and
+    the psum-OR combine reproduces the unsharded exact frame bit for
+    bit -- on the raw packed kernel and on the full env render path."""
+    import dataclasses
+
+    from tests.test_env import CONFIG
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu import vector
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        rasterize_masks_packed_pallas_soa,
+    )
+    from tinycarlo_tpu.parallel.sp import (
+        rasterize_masks_packed_sp,
+        render_observation_batch_sp,
+    )
+
+    mesh = parallel.make_mesh(model=2)
+    rng = np.random.default_rng(9)
+    B, E, H, W, L, t = 3, 30, 32, 160, 3, 3
+    u0 = jnp.asarray(rng.uniform(-60, W + 60, (B, E)), jnp.float64)
+    v0 = jnp.asarray(rng.uniform(-60, H + 60, (B, E)), jnp.float64)
+    u1 = u0 + jnp.asarray(rng.uniform(-80, 80, (B, E)), jnp.float64)
+    v1 = v0 + jnp.asarray(rng.uniform(-40, 40, (B, E)), jnp.float64)
+    draw = jnp.asarray(rng.random((B, E)) < 0.8)
+    edge_layer = jnp.asarray(rng.integers(0, L, (E,)), jnp.int32)
+    expected = rasterize_masks_packed_pallas_soa(
+        u0, v0, u1, v1, draw, edge_layer, L, (H, W), t, interpret=True,
+        stroke="exact",
+    )
+    got = rasterize_masks_packed_sp(
+        u0, v0, u1, v1, draw, edge_layer, L, (H, W), t, mesh,
+        interpret=True, stroke="exact",
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+    assert np.asarray(expected).sum() > 0
+
+    # full env render path: camera.stroke from the config is honored
+    cfg = dict(CONFIG)
+    cfg["camera"] = dict(
+        CONFIG["camera"], resolution=[32, 40], line_thickness=2,
+    )
+    params = fenv.make_env_params(cfg, dtype=jnp.float32)
+    params = params.replace(cfg=dataclasses.replace(
+        params.cfg,
+        camera=dataclasses.replace(params.cfg.camera, stroke="exact"),
+    ))
+    vstate, _ = vector.reset(params, jax.random.key(2), 4, render=False)
+    expected_env = fenv.render_observation_batch(params, vstate.env)
+    got_env = render_observation_batch_sp(
+        params, vstate.env, mesh, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_env), np.asarray(expected_env)
+    )
+    assert np.asarray(expected_env).sum() > 0
+
+
 def test_sp_chunk_bit_equal():
     """The fused TD3 chunk with the SP observation renderer composed
     INSIDE it (chunk(obs_render_fn=render_observation_batch_sp) under a

@@ -649,12 +649,33 @@ def test_exact_stroke_kernel_bit_equal(t, w):
 
     rng = np.random.default_rng(40 + t)
     H = 48
-    B, E, L = 3, 24, 3
+    B, E, L = 5, 24, 3
+    # Two fuzz regimes: near-frame correlated endpoints (the original
+    # domain) and DEEP-clipped independent endpoints (~+/-400 px off
+    # frame). The deep regime produces direction-swapped scaled-clip
+    # outline edges whose near-endpoint dot is not shared with any
+    # other edge -- exactly the path the round-4 advisor found the
+    # shallow domain never exercised (missing normalized-far dot).
     u0 = jnp.asarray(rng.uniform(-40, w + 60, (B, 1, E)), jnp.float64)
     v0 = jnp.asarray(rng.uniform(-40, 90, (B, 1, E)), jnp.float64)
     u1 = u0 + jnp.asarray(rng.uniform(-80, 80, (B, 1, E)), jnp.float64)
     v1 = v0 + jnp.asarray(rng.uniform(-40, 40, (B, 1, E)), jnp.float64)
+    deep = rng.random((B, 1, E)) < 0.5
+    du0 = rng.uniform(-400, w + 400, (B, 1, E))
+    dv0 = rng.uniform(-400, H + 400, (B, 1, E))
+    du1 = rng.uniform(-400, w + 400, (B, 1, E))
+    dv1 = rng.uniform(-400, H + 400, (B, 1, E))
+    u0 = jnp.where(deep, du0, u0)
+    v0 = jnp.where(deep, dv0, v0)
+    u1 = jnp.where(deep, du1, u1)
+    v1 = jnp.where(deep, dv1, v1)
+    # pinned regression: the advisor's missing-dot repro segment
+    u0 = u0.at[0, 0, 0].set(150.0)
+    v0 = v0.at[0, 0, 0].set(-151.0)
+    u1 = u1.at[0, 0, 0].set(-378.0)
+    v1 = v1.at[0, 0, 0].set(406.0)
     draw = jnp.asarray(rng.random((B, 1, E)) < 0.8)
+    draw = draw.at[0, 0, 0].set(True)
     el = jnp.asarray(rng.integers(0, L, (E,)), jnp.int32)
     from tinycarlo_tpu.ops.rasterize_pallas import _n_xblocks
 

@@ -23,6 +23,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tinycarlo_tpu.utils.helper import clip_angle
 
@@ -56,6 +57,24 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     n = table.shape[0]
     tail = table.shape[1:]
     as_int = jnp.issubdtype(table.dtype, jnp.integer)
+    # Exactness guard (round-4 verdict hygiene): the float ride-through
+    # is only bit-exact while |values| < 2^24. Map tables (node/edge
+    # indices, adjacency degrees) are concrete at trace time whenever
+    # they are closure constants -- check them then; tracer tables
+    # (params passed through jit) can't be value-checked here, but every
+    # integer table this framework routes is an index into a padded map
+    # array, bounded by the map's node/edge count (map_compiler caps
+    # well below 2^24).
+    if as_int and not isinstance(table, jax.core.Tracer) and table.size:
+        # numpy on the concrete array: a jnp reduction here would trace
+        # into the jitted graph and fail the int() (and cost a device op)
+        tb = np.asarray(table)
+        bound = max(abs(int(tb.min())), abs(int(tb.max())))
+        assert bound < (1 << 24), (
+            f"take_rows: integer table values reach {bound}, beyond the "
+            "2^24 float-exactness bound of the one-hot matmul route -- "
+            "use TINYCARLO_GATHER=take or split the table"
+        )
     ftab = table.reshape(n, -1)
     fdtype = jnp.float32 if as_int else table.dtype
     ftab = ftab.astype(fdtype)

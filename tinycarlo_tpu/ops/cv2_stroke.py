@@ -426,8 +426,16 @@ def _edge_outline_params(x1i, y1i, x2i, y2i, live, h: int, w: int, fdtype):
     m0 = (maj1 + HALF) >> XY_SHIFT
     n = (maj2 - maj1 + XY_ONE - 1) >> XY_SHIFT
     v0 = mino1 + HALF
+    # The NORMALIZED-far dot: the DDA's k=0 pixel realizes the rounded
+    # normalized-NEAR endpoint (same (·+HALF)>>16 formula), so a single
+    # extra dot at the normalized-far endpoint covers both of cv2's
+    # post-clip endpoint dots. For direction-swapped edges that far dot
+    # is (d0x, d0y), NOT (d1x, d1y) -- shipping d1 unconditionally
+    # drops the d0 dot on clipped swapped edges (advisor round-4 high).
+    fdx = jnp.where(swap, d0x, d1x)
+    fdy = jnp.where(swap, d0y, d1y)
     return dict(
-        acc=acc, d0x=d0x, d0y=d0y, d1x=d1x, d1y=d1y,
+        acc=acc, d0x=d0x, d0y=d0y, d1x=d1x, d1y=d1y, fdx=fdx, fdy=fdy,
         xmaj=xmaj, m0=m0, n=n, v0=v0, st=st,
     )
 

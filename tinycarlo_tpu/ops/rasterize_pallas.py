@@ -2447,7 +2447,7 @@ def compact_env_exact_soa(
     shifted into block-local / stacked-strip coordinates.
 
     Returns (idx, arrays, counts): idx (B, kp) int32 slot->copy map,
-    `arrays` a 26-tuple of (B, LE) int32, counts as in
+    `arrays` a 30-tuple of (B, LE) int32, counts as in
     compact_env_idx_soa (row 1, the one-band tier, always 0).
     Array order (consumed positionally by `_tier_loops_exact`):
       0  rowsP   = pack16(ymin_row', stop_row')
@@ -2457,9 +2457,10 @@ def compact_env_exact_soa(
       14-17 v0 per edge   (fixed point, strip/block shifted)
       18-21 st per edge
       22 capP0 = pack16(cx0', cy0'), 23 capP1
-      24-27 d1P per edge = pack16(dot1x', dot1y') -- the far-endpoint
-            dot of each Line2 edge (the near dot coincides with the
-            DDA's k=0 pixel, enforced by n = max(n, 1))
+      24-27 fdP per edge = pack16(fdx', fdy') -- the NORMALIZED-far
+            endpoint dot of each Line2 edge (where(swap, d0, d1); the
+            normalized-near dot coincides with the DDA's k=0 pixel,
+            enforced by n = max(n, 1))
       28 flags = fill_ok | acc_e<<1.. | xmaj_e<<5..
       29 bw    (band word, same layout as compact_env_idx_soa)
     """
@@ -2491,6 +2492,18 @@ def compact_env_exact_soa(
     assert n_bands < _NB_PACK, "frame too tall for the packed band word"
     assert n_frames * nxb * n_bands < (1 << 24) // _NB_PACK, (
         "stacked frames too tall for band word"
+    )
+    # Packed-field ranges (advisor round-4 low): _pack16 row fields
+    # carry value + roff + _XBIAS (roff <= (n_frames*nxb - 1) * hp,
+    # values in [-_XBIAS, h]), and x-major v0 carries (roff + y) << 16
+    # in int32 -- the tighter bound. Silent wrap would corrupt the
+    # bundle; the band-word asserts above don't cover these.
+    assert n_frames * nxb * hp + h + _XBIAS < (1 << 15), (
+        "stacked strip rows overflow the packed fields / v0 shift "
+        f"(n_frames={n_frames}, nxb={nxb}, hp={hp}, h={h})"
+    )
+    assert (w if w is not None else 0) + _XBIAS < (1 << 16), (
+        f"frame width {w} overflows the packed 16-bit fields"
     )
     yloi = jnp.minimum(p0y, p1y).astype(jnp.float32) - rf
     yhii = jnp.maximum(p0y, p1y).astype(jnp.float32) + rf
@@ -2553,7 +2566,11 @@ def compact_env_exact_soa(
         m0n.append(_pack16(m0p, ex(nn)))
         v0s.append(v0p)
         sts.append(ex(ed["st"]))
-        d1s.append(_pack16(ex(ed["d1x"]) - xs, ex(ed["d1y"]) + roff))
+        # Ship the NORMALIZED-far dot (where(swap, d0, d1)): the k=0 DDA
+        # pixel realizes the normalized-near dot, and for direction-
+        # swapped clipped edges the far dot is d0 -- shipping d1
+        # unconditionally dropped it (advisor round-4 high finding).
+        d1s.append(_pack16(ex(ed["fdx"]) - xs, ex(ed["fdy"]) + roff))
     capP0 = _pack16(ex(p0x) - xs, ex(p0y) + roff)
     capP1 = _pack16(ex(p1x) - xs, ex(p1y) + roff)
     flags = ex(

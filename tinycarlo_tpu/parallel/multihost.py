@@ -59,6 +59,24 @@ def local_batch_slice(n_global_envs: int) -> slice:
     return slice(start, start + per)
 
 
+def global_array(value, mesh, spec):
+    """Full-content host value (identical on every process) -> global
+    jax.Array with NamedSharding(mesh, spec).
+
+    The multi-host placement path for REPLICATED or tensor-sharded state
+    (replay buffer, learner params under the TP plan): every process
+    holds the full value and `jax.make_array_from_callback` hands each
+    addressable device its shard. Per-host-sharded batches should use
+    `host_local_array` instead (each host produces only its rows)."""
+    from jax.sharding import NamedSharding
+
+    arr = np.asarray(value)
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def host_local_array(global_shape, mesh, make_local):
     """Assemble a globally-sharded array from per-host local data.
 

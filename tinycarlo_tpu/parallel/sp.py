@@ -53,6 +53,7 @@ def rasterize_masks_packed_sp(
     max_visible: Optional[int] = None,
     data_sharded: bool = False,
     interpret: Optional[bool] = None,
+    stroke: str = "fast",
 ) -> jnp.ndarray:
     """Production-kernel SP: each `model`-axis device compacts and
     rasterizes its shard of the packed segment axis through the Pallas
@@ -63,7 +64,10 @@ def rasterize_masks_packed_sp(
 
     `data_sharded=True` additionally shards the batch axis over `data`
     (DP x SP). The segment axis is padded with dead slots to a multiple
-    of the model-axis size.
+    of the model-axis size. `stroke="exact"` routes the bit-exact cv2
+    t>=2 stamp per shard -- the exact stroke is per-segment work and the
+    psum-OR combine is stroke-agnostic, so SP-exact equals the unsharded
+    exact path bit for bit (round-4 verdict item 3).
     """
     from tinycarlo_tpu.ops.rasterize_pallas import (
         rasterize_masks_packed_pallas_soa,
@@ -80,6 +84,7 @@ def rasterize_masks_packed_sp(
         part = rasterize_masks_packed_pallas_soa(
             u0s, v0s, u1s, v1s, draws, layer_s, n_layers, resolution,
             thickness, max_visible=max_visible, interpret=interpret,
+            stroke=stroke,
         )
         hit = (part > 0).astype(jnp.int32)
         combined = jax.lax.psum(hit, MODEL_AXIS)
@@ -116,8 +121,10 @@ def render_observation_batch_sp(
     emits 0/1 masks for in-graph consumers (the fused TD3 chunk's
     float-obs encoder feed, train/td3_loop.chunk(obs_render_fn=...)),
     exactly like `env.render_observation_batch(out_dtype=...)`.
-    Always the fast-stroke Pallas stamp (camera.stroke is not consulted
-    here; the exact t>=2 mode has no sharded kernel).
+    `camera.stroke` is honored: "exact" routes the bit-exact cv2 t>=2
+    Pallas stamp per shard (stroke is per-segment work; the psum-OR
+    combine is stroke-agnostic), bit-equal to the unsharded exact
+    renderer (tests/test_parallel.py::test_sp_exact_stroke_bit_equal).
     """
     from tinycarlo_tpu import camera as cam
     from tinycarlo_tpu.ops.rasterize_pallas import (
@@ -144,7 +151,7 @@ def render_observation_batch_sp(
             u0[:, 0], v0[:, 0], u1[:, 0], v1[:, 0], draw[:, 0], elayer_s,
             md.n_layers, cfg.camera.resolution, cfg.camera.line_thickness,
             max_visible=cfg.camera.max_visible_segments,
-            interpret=interpret,
+            interpret=interpret, stroke=cfg.camera.stroke,
         )
         hit = (part > 0).astype(jnp.int32)
         combined = jax.lax.psum(hit, MODEL_AXIS)
