@@ -55,61 +55,81 @@ assert jax.process_index() == rank
 assert len(jax.devices()) == 8, len(jax.devices())
 assert len(jax.local_devices()) == 4
 
-CONFIG = {
-    "sim": {"fps": 30, "observation_space_format": "classes"},
-    "car": {"wheelbase": 0.0487, "track_width": 0.027, "max_velocity": 0.15,
-            "max_steering_angle": 30, "steering_speed": 30,
-            "max_acceleration": 0.1, "max_deceleration": 1.0},
-    "camera": {"position": [0.0, -0.005, 0.04], "orientation": [22, 0, 0],
-               "resolution": [32, 40], "fov": 80, "max_range": 0.5,
-               "line_thickness": 1},
-    "map": {"json_path": map_json, "pixel_per_meter": 450},
-}
-N_ENVS, STEPS = 16, 3
+if mode == "step":
+    CONFIG = {
+        "sim": {"fps": 30, "observation_space_format": "classes"},
+        "car": {"wheelbase": 0.0487, "track_width": 0.027, "max_velocity": 0.15,
+                "max_steering_angle": 30, "steering_speed": 30,
+                "max_acceleration": 0.1, "max_deceleration": 1.0},
+        "camera": {"position": [0.0, -0.005, 0.04], "orientation": [22, 0, 0],
+                   "resolution": [32, 40], "fov": 80, "max_range": 0.5,
+                   "line_thickness": 1},
+        "map": {"json_path": map_json, "pixel_per_meter": 450},
+    }
+    N_ENVS, STEPS = 16, 3
 
-params = fenv.make_env_params(CONFIG)
-mesh = pmesh.make_mesh(data=8, model=1)
+    params = fenv.make_env_params(CONFIG)
+    mesh = pmesh.make_mesh(data=8, model=1)
 
-# Both processes compute the same full initial state (same seed), then
-# feed ONLY their local rows through host_local_array -- the real
-# multi-host feeding path (each host would produce just its shard).
-local_state, _ = vector.reset(
-    params, jax.random.PRNGKey(0), N_ENVS, render=False
-)
-sl = multihost.local_batch_slice(N_ENVS)
-assert (sl.start, sl.stop) == (rank * 8, rank * 8 + 8)
+    # Both processes compute the same full initial state (same seed), then
+    # feed ONLY their local rows through host_local_array -- the real
+    # multi-host feeding path (each host would produce just its shard).
+    local_state, _ = vector.reset(
+        params, jax.random.PRNGKey(0), N_ENVS, render=False
+    )
+    sl = multihost.local_batch_slice(N_ENVS)
+    assert (sl.start, sl.stop) == (rank * 8, rank * 8 + 8)
 
-state = jax.tree.map(
-    lambda leaf: multihost.host_local_array(
-        (N_ENVS,) + leaf.shape[1:], mesh,
-        lambda s, leaf=leaf: np.asarray(leaf)[s],
-    ),
-    local_state,
-)
-action = {
-    "car_control": multihost.host_local_array(
-        (N_ENVS, 2), mesh,
-        lambda s: np.tile(np.asarray([0.5, 0.1], np.float32), (8, 1)),
-    ),
-    "maneuver": multihost.host_local_array(
-        (N_ENVS,), mesh, lambda s: np.zeros(8, np.int32)
-    ),
-}
+    state = jax.tree.map(
+        lambda leaf: multihost.host_local_array(
+            (N_ENVS,) + leaf.shape[1:], mesh,
+            lambda s, leaf=leaf: np.asarray(leaf)[s],
+        ),
+        local_state,
+    )
+    action = {
+        "car_control": multihost.host_local_array(
+            (N_ENVS, 2), mesh,
+            lambda s: np.tile(np.asarray([0.5, 0.1], np.float32), (8, 1)),
+        ),
+        "maneuver": multihost.host_local_array(
+            (N_ENVS,), mesh, lambda s: np.zeros(8, np.int32)
+        ),
+    }
 
+    @jax.jit
+    def run(state, action):
+        checksum = jnp.zeros((), jnp.float64)
+        for _ in range(STEPS):
+            state, obs, rew, term, trunc, info = vector.step(
+                params, state, action, render=True, max_episode_steps=100
+            )
+            # global reductions -> cross-process collectives; the scalar is
+            # replicated so every process can read it
+            checksum = checksum + jnp.sum(jnp.abs(info["cte"]).astype(jnp.float64))
+            checksum = checksum + jnp.sum(rew.astype(jnp.float64)) + jnp.sum(obs.astype(jnp.float64)) / 255.0
+        return state, checksum
 
-@jax.jit
-def run(state, action):
-    checksum = jnp.zeros((), jnp.float64)
-    for _ in range(STEPS):
-        state, obs, rew, term, trunc, info = vector.step(
-            params, state, action, render=True, max_episode_steps=100
-        )
-        # global reductions -> cross-process collectives; the scalar is
-        # replicated so every process can read it
-        checksum = checksum + jnp.sum(jnp.abs(info["cte"]).astype(jnp.float64))
-        checksum = checksum + jnp.sum(rew.astype(jnp.float64)) + jnp.sum(obs.astype(jnp.float64)) / 255.0
-    return state, checksum
+    state, checksum = run(state, action)
+    print(f"MULTIHOST_OK rank={rank} checksum={float(checksum):.12e}", flush=True)
 
+elif mode == "chunk":
+    # The FUSED TD3 training chunk as one cross-process SPMD program:
+    # data x model mesh over 2 processes, envs DP-sharded per host,
+    # replay buffer + loop scalars replicated, TD3 learner state
+    # TP-sharded by the Megatron plan, SP renderer inside the chunk.
+    # The exact same function doubles as the single-process oracle in
+    # tests/test_multihost.py (same global mesh -> same partitioned
+    # program; only the collective transport differs).
+    from tests._multihost_chunk_common import run_sharded_chunk
 
-state, checksum = run(state, action)
-print(f"MULTIHOST_OK rank={rank} checksum={float(checksum):.12e}", flush=True)
+    roll, loss = run_sharded_chunk(map_json)
+    # .17e: full f64 round-trip precision -- the parent asserts EXACT
+    # equality against its own run of the same program
+    print(
+        f"MULTIHOST_CHUNK_OK rank={rank} roll={roll:.17e} "
+        f"loss={loss:.17e}",
+        flush=True,
+    )
+else:
+    raise SystemExit(f"unknown mode {mode!r}")

@@ -43,9 +43,6 @@ _SLOW_TESTS = {
         "test_jnp_predicate_bit_exact",
         "test_dense_and_tiled_exact_stroke",
     },
-    "test_rasterize_pallas.py": {
-        "test_exact_stroke_kernel_bit_equal",
-    },
     "test_query_grid.py": {
         "test_grid_matches_full_scan_knuffingen",
     },
@@ -60,14 +57,22 @@ _SLOW_TESTS = {
         "test_sp_rasterize_bit_equal",
         "test_sp_packed_kernel_bit_equal",
         "test_sp_env_observation_bit_equal",
+        "test_sp_exact_stroke_bit_equal",
     },
     "test_vector.py": {
         "test_vmap_matches_single",
         "test_sharded_batch_runs",
         "test_auto_reset",
     },
-    "test_multihost.py": {"test_two_process_sharded_step"},
+    "test_multihost.py": {
+        "test_two_process_sharded_step",
+        "test_two_process_td3_chunk",
+    },
+    # NOTE: single entry per file -- a duplicate dict key silently
+    # replaces the earlier set (this once unmarked the exact-stroke
+    # kernel tests; guarded by test_misc.test_slow_table_no_dup_keys).
     "test_rasterize_pallas.py": {
+        "test_exact_stroke_kernel_bit_equal",
         "test_env_dma_kernel_matches_reference",
         "test_env_check_segment_overflow",
         "test_segment_axis_alternate_matches_production",

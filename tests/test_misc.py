@@ -108,3 +108,27 @@ def test_weight_changes_snapshot_roundtrip():
     tlog.snapshot_params(p1, 200, hist)
     out = tlog.weight_changes(hist)
     assert out == {"a/kernel": [0.5]}
+
+
+def test_slow_table_no_dup_keys():
+    """tests/conftest.py's _SLOW_TESTS is a dict literal: a duplicate
+    file key silently REPLACES the earlier entry's test set (this once
+    unmarked the exact-stroke kernel tests). Parse the source and assert
+    every file key appears exactly once."""
+    import ast
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "conftest.py")
+    tree = ast.parse(open(path).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "_SLOW_TESTS" for t in node.targets
+        ):
+            keys = [k.value for k in node.value.keys]
+            assert len(keys) == len(set(keys)), (
+                f"duplicate _SLOW_TESTS keys: "
+                f"{sorted(k for k in keys if keys.count(k) > 1)}"
+            )
+            break
+    else:
+        raise AssertionError("_SLOW_TESTS not found in conftest.py")
