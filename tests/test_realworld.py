@@ -85,3 +85,141 @@ def test_pose_tracker_roundtrip():
         assert tracker.get() is None  # consume-on-read
     finally:
         tracker.stop()
+
+
+def test_autosys_stanley_driveback():
+    """Round-4 verdict item 4a: an AutosysCar stranded OFF-path with an
+    EMPTY action history Stanley-drives back to the lanepath using the
+    digital twin's guidance stream (reference env_autosys.py:145-166:
+    k=4 correction, maneuver-retry fallback, per-iteration target
+    re-snap, 0.02 m / 20 deg convergence). The hardware rig is faked:
+    servo/motor commands integrate a bicycle model and the tracker
+    reports that pose, so the REAL AutosysCar drive/track/reposition
+    code runs end to end."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu.real_world.base import make_guidance, snap_to_lanepath
+    from tinycarlo_tpu.real_world.environments.env_autosys import AutosysCar
+
+    class FakeRig:
+        """Transport + tracker double: a motion-captured toy car."""
+
+        def __init__(self, start, ppm, wheelbase=0.0487,
+                     max_velocity=0.15, dt=1 / 30):
+            self.x, self.y, self.rot = start
+            self.ppm = ppm
+            self.wheelbase = wheelbase
+            self.max_velocity = max_velocity
+            self.dt = dt
+            self.steering_deg = 0.0
+
+        # -- transport interface --
+        def set_servo_angle(self, centidegrees):
+            self.steering_deg = (centidegrees - 9000) / 100.0
+
+        def set_motor_duty_cycle(self, duty):
+            v = (duty / 100.0) * self.max_velocity
+            delta = math.radians(self.steering_deg)
+            if abs(delta) < 1e-4:
+                self.x += v * math.cos(self.rot) * self.dt
+                self.y += v * math.sin(self.rot) * self.dt
+            else:
+                radius = self.wheelbase / math.tan(delta)
+                dyaw = v / radius * self.dt
+                self.x += radius * (
+                    math.sin(self.rot + dyaw) - math.sin(self.rot)
+                )
+                self.y -= radius * (
+                    math.cos(self.rot + dyaw) - math.cos(self.rot)
+                )
+                self.rot = (self.rot + dyaw + math.pi) % (2 * math.pi) - math.pi
+
+        def set_blinker(self, mode):
+            pass
+
+        # -- tracker interface --
+        def start(self):
+            pass
+
+        def stop(self):
+            pass
+
+        def get(self):
+            return (2, self.x * self.ppm, self.y * self.ppm, self.rot)
+
+    params = fenv.make_env_params(CONFIG, dtype=jnp.float64)
+    state, _, _ = fenv.reset(params, jax.random.PRNGKey(0), render=False)
+
+    # a lanepath pose near the map center, then strand the car 8 cm
+    # perpendicular off the path (3x the track width) with empty history
+    target, trot, _ = snap_to_lanepath(params, np.asarray([0.9, 1.2]), 0.0)
+    off = np.asarray([-math.sin(trot), math.cos(trot)]) * 0.08
+    start = (float(target[0] + off[0]), float(target[1] + off[1]), trot)
+
+    rig = FakeRig(start, ppm=450)
+    car = AutosysCar(pixel_per_meter=450)
+    car.transport = rig
+    car.tracker = rig
+    car.pose()  # seed the tracked pose
+    assert not car.history  # stranded with NOTHING to replay
+
+    guidance = make_guidance(params, state)
+    cte0 = guidance(car._position, car._rotation, 0)[0]
+    assert abs(cte0) > 0.05  # genuinely off-path
+
+    car.reposition(target, trot, guidance=guidance)
+
+    # converged: on the lanepath within the reference thresholds
+    final_target, final_rot, _ = snap_to_lanepath(
+        params, car._position, car._rotation
+    )
+    cte = guidance(car._position, car._rotation, 0)[0]
+    assert abs(cte) < 0.02, cte
+    d = final_rot - car._rotation
+    assert abs(math.atan2(math.sin(d), math.cos(d))) < math.radians(20)
+
+
+def test_autosys_camera_frame_path():
+    """Round-4 verdict item 4b: AutosysCamera.capture() returns frames
+    when the transport provides them -- full resize -> /255 CHW ->
+    (segmentation | RAW channels) pipeline (reference
+    env_autosys.py:33-50), zero frame while the camera is not streaming,
+    None (digital-twin fallback) only when no hardware exists."""
+    from tinycarlo_tpu.real_world.environments.env_autosys import (
+        AutosysCamera,
+    )
+
+    cam = AutosysCamera(resolution=(32, 40))
+    # no hardware: connect() leaves _get_frame unwired -> digital twin
+    cam.connect()
+    assert cam.capture() is None
+
+    # transport provides frames; RAW path (no segmentation net)
+    cam._get_frame = lambda: np.full((480, 640, 3), 200, np.uint8)
+    frame = cam.capture()
+    assert frame.shape == (3, 32, 40)
+    np.testing.assert_allclose(frame, 200.0, atol=0.5)
+
+    # segmentation path: fake net returns 7 channels, first 5 are used
+    cam._segment = lambda chw: np.stack(
+        [np.full((224, 320), (i + 1) / 10, np.float32) for i in range(7)]
+    )
+    frame = cam.capture()
+    assert frame.shape == (5, 32, 40)
+    np.testing.assert_allclose(
+        frame,
+        np.broadcast_to(
+            np.asarray([25.5, 51.0, 76.5, 102.0, 127.5])[:, None, None],
+            (5, 32, 40),
+        ),
+        atol=0.5,
+    )
+
+    # camera connected but not streaming yet: reference zero frame
+    cam._get_frame = lambda: None
+    z = cam.capture()
+    assert z.shape == (5, 32, 40) and not z.any()

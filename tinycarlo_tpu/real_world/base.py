@@ -46,10 +46,22 @@ class RealWorldCar:
     def stop(self) -> None:
         """Emergency/shutdown stop."""
 
-    def reposition(self, target_position, target_rotation) -> None:
+    def reposition(self, target_position, target_rotation, guidance=None) -> None:
         """Optional automatic recovery toward a lanepath pose (the
         reference's history-replay / Stanley drive-back,
-        env_autosys.py:135-178)."""
+        env_autosys.py:135-178).
+
+        `guidance`, when provided by the env, is the digital twin's map
+        feedback for the drive-back controller:
+        ``guidance(position, rotation, maneuver) -> (cte, heading_error,
+        truncated, target_position, target_rotation)`` -- cte/heading
+        relative to the lanepath edge nearest the given pose (the
+        reference's get_info stream inside its reset loop,
+        env_autosys.py:161-164), `truncated` whether the local-path walk
+        dead-ends for that maneuver (the maneuver-retry signal,
+        env_autosys.py:156-160), and the re-snapped target pose
+        (env_autosys.py:167). Backends that only replay history may
+        ignore it."""
 
 
 class RealWorldCamera:
@@ -101,6 +113,37 @@ def pose_step(
         params.map_data, car, jnp.asarray(maneuver, jnp.int32)
     )
     return state.replace(car=car), truncated
+
+
+def make_guidance(params: fenv.EnvParams, state: fenv.EnvState):
+    """The digital twin's map-feedback callback for
+    `RealWorldCar.reposition` (see its docstring for the contract).
+
+    Each call snaps the tracked pose onto the nearest lanepath edge
+    (pose_reset), runs the maneuver-conditioned local-path walk
+    (pose_step), and reads cte / heading_error from the same jitted info
+    path the simulator uses -- the functional equivalent of the
+    reference's reset-loop get_info + sample_nearest_edge stream
+    (env_autosys.py:154-167)."""
+
+    def guidance(position, rotation, maneuver):
+        st = pose_reset(params, state, position, rotation)
+        st, truncated = pose_step(
+            params, st, position, rotation, 0.0, maneuver
+        )
+        import jax
+
+        info = jax.device_get(fenv._info(params, st))
+        tp, tr, _ = snap_to_lanepath(params, position, rotation)
+        return (
+            float(info["cte"]),
+            float(info["heading_error"]),
+            bool(truncated),
+            np.asarray(tp),
+            float(tr),
+        )
+
+    return guidance
 
 
 def pose_reset(params: fenv.EnvParams, state: fenv.EnvState, position, rotation):

@@ -28,6 +28,7 @@ from tinycarlo_tpu.gym_env import TinyCarloEnv
 from tinycarlo_tpu.real_world.base import (
     RealWorldCamera,
     RealWorldCar,
+    make_guidance,
     pose_reset,
     pose_step,
     snap_to_lanepath,
@@ -116,13 +117,23 @@ class TinyCarloRealWorldEnv(TinyCarloEnv):
         target_pos, target_rot, _ = snap_to_lanepath(
             self.params, position, rotation
         )
-        self._hw_car.reposition(target_pos, target_rot)
-        position, rotation, _velocity = self._hw_car.pose()
         if self.state is None:
             # build an initial state pytree via the simulated reset
             self.state, _, _ = self._reset_fn(
                 self.params, jax.random.PRNGKey(0), jnp.asarray(0)
             )
+        # hand the backend the digital twin's map feedback so its
+        # drive-back controller (reference env_autosys.py:154-167) can
+        # run without the backend holding the map; legacy backends with
+        # a 2-arg reposition still work
+        if "guidance" in inspect.signature(self._hw_car.reposition).parameters:
+            self._hw_car.reposition(
+                target_pos, target_rot,
+                guidance=make_guidance(self.params, self.state),
+            )
+        else:
+            self._hw_car.reposition(target_pos, target_rot)
+        position, rotation, _velocity = self._hw_car.pose()
         self.state = pose_reset(self.params, self.state, position, rotation)
         observation = self._get_obs()
         from tinycarlo_tpu import env as fenv
