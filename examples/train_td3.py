@@ -133,7 +133,42 @@ if __name__ == "__main__":
         tlog.snapshot_params(state.td3_state.critic2, step, w_hist["critic2"])
 
     snapshot_weights(0)
-    st = time.perf_counter()
+    # Pipelined dispatch (default): chunk i+1 is dispatched BEFORE chunk
+    # i's logs are fetched, so the host's device_get / weight snapshots /
+    # printing overlap the device executing the next chunk and the
+    # ~16 ms tunnel dispatch cost hides under execution
+    # (benchmarks/baseline_configs.py config 4 measured 75.4k -> 88.1k
+    # at 64 envs from this alone; the reference's loop blocks on every
+    # step, train_td3.py:174-207). --sync restores blocking dispatch.
+    pipelined = "--sync" not in sys.argv
+    timer = {"st": time.perf_counter()}
+
+    def consume(pending):
+        """Fetch + log one finished chunk (runs while the next executes)."""
+        i, out, td3_st, filled = pending
+        out = jax.device_get(out)
+        c1_hist.extend(out["critic1_loss"])
+        c2_hist.extend(out["critic2_loss"])
+        a_hist.extend(x for x in out["actor_loss"] if x != 0.0)
+        rew_hist.append(float(out["reward"].sum() / max(1, out["done"].sum())))
+        cte_hist.extend(out["cte"].mean(axis=-1))
+        dist_hist.extend(out["laneline_distances"])
+        tlog.snapshot_params(td3_st.actor, (i + 1) * chunk_steps,
+                             w_hist["actor"])
+        tlog.snapshot_params(td3_st.critic1, (i + 1) * chunk_steps,
+                             w_hist["critic1"])
+        tlog.snapshot_params(td3_st.critic2, (i + 1) * chunk_steps,
+                             w_hist["critic2"])
+        now = time.perf_counter()
+        sps = chunk_steps * n_envs / (now - timer["st"])  # this chunk only,
+        timer["st"] = now  # so compile time doesn't drown the steady rate
+        print(
+            f"chunk {i+1}/{n_chunks} | {sps:,.0f} env-steps/s | "
+            f"c1 {tlog.avg_w(c1_hist):.3f} | rew/ep {rew_hist[-1]:.2f} | "
+            f"buffer {int(filled)}"
+        )
+
+    pending = None
     for i in range(n_chunks):
         if total_eps is None:
             # linear decay of the OU sigma level across the run; each env
@@ -146,23 +181,15 @@ if __name__ == "__main__":
                     0.4 * (1 - i / n_chunks), jnp.float32
                 )
             )
-        state, out = run(state)
-        out = jax.device_get(out)
-        c1_hist += list(out["critic1_loss"])
-        c2_hist += list(out["critic2_loss"])
-        a_hist += [x for x in out["actor_loss"] if x != 0.0]
-        rew_hist.append(float(out["reward"].sum() / max(1, out["done"].sum())))
-        cte_hist += list(out["cte"].mean(axis=-1))
-        dist_hist += list(out["laneline_distances"])
-        snapshot_weights((i + 1) * chunk_steps)
-        now = time.perf_counter()
-        sps = chunk_steps * n_envs / (now - st)  # this chunk only, so the
-        st = now  # first chunk's compile time doesn't drown the steady rate
-        print(
-            f"chunk {i+1}/{n_chunks} | {sps:,.0f} env-steps/s | "
-            f"c1 {tlog.avg_w(c1_hist):.3f} | rew/ep {rew_hist[-1]:.2f} | "
-            f"buffer {int(state.buf.filled)}"
-        )
+        state, out = run(state)  # async dispatch of chunk i
+        if pending is not None:
+            consume(pending)  # overlaps chunk i's device execution
+        pending = (i, out, state.td3_state, state.buf.filled)
+        if not pipelined:
+            consume(pending)
+            pending = None
+    if pending is not None:
+        consume(pending)
 
     sfx = "with_shift" if include_shift else "without_shift"
     tlog.save_losses(OUT_DIR, c1_hist, c2_hist, a_hist, sfx)
