@@ -1657,6 +1657,17 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
     ys16 = jax.lax.broadcasted_iota(jnp.int32, (win, wb), 0).astype(jnp.float32)
 
     sdt = scratch.dtype
+    # TIMING PROBES (wrong output; round-5 store-mechanics decomposition,
+    # docs/KERNELS.md): TINYCARLO_STORE=
+    #   static -- masked store at a STATIC row 0 (removes the dynamic
+    #             row-slice addressing from every window)
+    #   nomask -- plain unmasked store at the dynamic row (removes the
+    #             mask machinery)
+    #   acc8   -- OR the unroll-group's hits in vregs, ONE masked store
+    #             per group at row 0 (upper bound for any fewer-stores
+    #             reorganization: 8x fewer stores, same stamps/loads)
+    store_probe = os.environ.get("TINYCARLO_STORE", "")
+
     def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live, val=None):
         # scalar-unit folds keep the vector loop lean: the window row
         # offset rides in ay, and the live check rides in the compare
@@ -1665,6 +1676,18 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         apx = xs - ax
         apy = ys - ay
         hit = _window_hit(apx, apy, abx, aby, inv, live, r2)
+        if store_probe == "static":
+            y0 = y0 * 0
+        elif store_probe == "nomask":
+            pltpu.store(
+                scratch.at[pl.ds(y0, rows), pl.ds(y0 * 0, scratch.shape[-1])],
+                jnp.where(
+                    hit,
+                    jnp.full((rows, scratch.shape[-1]), fill, sdt),
+                    jnp.zeros((rows, scratch.shape[-1]), sdt),
+                ),
+            )
+            return
         # The lane slice start is y0 * 0 rather than a literal 0: a
         # Python-int start lowers to int64 under x64 (interpret-mode
         # tests) and dynamic_slice rejects mixed index dtypes; deriving
@@ -1747,10 +1770,31 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         import os as _os
         unroll = int(_os.environ.get("TINYCARLO_UNROLL", 8))
 
-        def pack(p, _):
-            for u in range(unroll):
-                win16(unroll * p + u)
-            return 0
+        if store_probe == "acc8":
+            # timing probe: one store per unroll group (see above)
+            def pack(p, _):
+                acc = None
+                for u in range(unroll):
+                    ax, ay, abx, aby, inv, bw = load(unroll * p + u)
+                    ay, b0, nb, _val = _decode(ay, bw)
+                    ayw = ay - (b0 * gran).astype(jnp.float32)
+                    h = _window_hit(
+                        xs16 - ax, ys16 - ayw, abx, aby, inv, nb > 0, r2
+                    )
+                    acc = h if acc is None else (acc | h)
+                pltpu.store(
+                    scratch.at[
+                        pl.ds(p * 0, win), pl.ds(p * 0, scratch.shape[-1])
+                    ],
+                    jnp.full((win, scratch.shape[-1]), fill, sdt),
+                    mask=acc,
+                )
+                return 0
+        else:
+            def pack(p, _):
+                for u in range(unroll):
+                    win16(unroll * p + u)
+                return 0
 
         jax.lax.fori_loop(0, (n_short + unroll - 1) // unroll, pack, 0)
 
