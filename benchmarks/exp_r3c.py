@@ -161,7 +161,7 @@ def probe_geom():
             masks = rp.rasterize_masks_packed_pallas_soa(
                 u0 + i.astype(jnp.float32) * 1e-6, v0, u1, v1, draw,
                 md.packed_edge_layer, md.n_layers, (128, 160), 2,
-                max_visible=128,
+                max_visible=int(os.environ.get("TINYCARLO_MAXVIS", 128)),
                 layer_bounds=md.packed_layer_bounds or None)
             return (i + 1, checksum + jnp.sum(
                 masks[:, :, 60:64, :], dtype=jnp.uint32)), None

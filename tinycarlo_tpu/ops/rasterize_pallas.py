@@ -56,6 +56,12 @@ from tinycarlo_tpu.ops.rasterize import (
 # The word stays exactly representable in f32 (needed because it rides
 # through the routing matmul): max value ~ 512 * 512 < 2^24.
 _NB_PACK = 512
+_NB_SHIFT = 9  # log2(_NB_PACK); kernel decodes bw via shift/mask
+# Dead-copy endpoint poison for the pre-decoded SoA (compact_env_idx_soa
+# pre=True): far enough off-frame that no stamp predicate can fire
+# (split stroke: d2 ~ 3.6e15 >> any r2; bres: |step| >> maj), small
+# enough that every f32 intermediate stays finite.
+_POISON = jnp.float32(6.0e7)
 
 # X-block width for the lane-split scratch layout (see compact_env_soa):
 # one VPU lane tile, so every window touches exactly one lane tile.
@@ -866,13 +872,14 @@ def compact_env_idx(
     w: Optional[int] = None,
     one_tier: bool = False,
     layer_bounds: Optional[Tuple[int, ...]] = None,
+    pre: bool = True,
 ):
     """Point-array entry: slices the stacked endpoints and delegates to
     `compact_env_idx_soa` (see there for semantics)."""
     return compact_env_idx_soa(
         p0[..., 0], p0[..., 1], p1[..., 0], p1[..., 1], draw,
         k, gran, h, thickness, edge_layer=edge_layer, n_layers=n_layers,
-        w=w, one_tier=one_tier, layer_bounds=layer_bounds,
+        w=w, one_tier=one_tier, layer_bounds=layer_bounds, pre=pre,
     )
 
 
@@ -891,6 +898,7 @@ def compact_env_idx_soa(
     w: Optional[int] = None,
     one_tier: bool = False,
     layer_bounds: Optional[Tuple[int, ...]] = None,
+    pre: bool = True,
 ):
     """Index-indirection variant of `compact_env_soa`: no routing matmul.
 
@@ -903,10 +911,15 @@ def compact_env_idx_soa(
     (B, k, LE) routing tensor and its MXU matmul are never built. Dead
     slots point at ineligible copies, whose nb == 0 kills the window.
 
-    Returns (idx, ax, ay, abx, aby, inv, bw, counts): idx (B, k) int32,
-    SoA arrays (B, LE) f32 / int32 bw, counts (4 + n_layers, B) int32 --
-    rows [live, one-band count, short count, dropped, per-layer live *
-    n_layers]. Slots are ordered one-band (nb == 1) first, then
+    Returns (idx, ax, ay, abx, aby, inv, bw[, y0i], counts): idx (B, k)
+    int32, SoA arrays (B, LE) f32 / int32 bw, counts (4 + n_layers, B)
+    int32 -- rows [live, one-band count, short count, dropped,
+    per-layer live * n_layers]. With `pre=True` (default; the masks
+    kernels' contract) the bundle additionally carries y0i -- the
+    pre-decoded stacked window row -- with ay pre-shifted into window
+    coordinates and dead copies' endpoints poisoned (see the inline
+    note); `pre=False` keeps the round-4 8-tuple (the rank kernel's
+    contract, whose decode peels the layer id off the band word). Slots are ordered one-band (nb == 1) first, then
     remaining shorts (nb == 2), then talls: the kernel's one-band tier
     evaluates an 8-row window (half the vector issues of the fused
     16-row window), which ~37% of realistic segments qualify for. The
@@ -985,16 +998,34 @@ def compact_env_idx_soa(
     # docs/KERNELS.md round-2 notes.)
     b0enc = jnp.where(nb == 1, b0, b0c) if one_tier else b0c
     bw = (frame * n_bands + b0enc) * _NB_PACK + nb
+    # Pre-decoded window row (round-5, docs/KERNELS.md): the exact value
+    # the kernel's shift-decode of bw yields, times gran -- shipped as
+    # its own scalar so the short tiers replace the per-window decode
+    # ARITHMETIC on the sequencer's scalar unit (the one component every
+    # round-4/5 ablation kept while the half-window probe priced windows
+    # at ~20 ns each) with one SMEM load (loads measured free, NOLOAD).
+    y0i = (frame * n_bands + b0enc) * gran
 
     le = nl * e * nxb
     flat = lambda x: x.reshape(bsz, le)
-    ax0, ay0, bx0, by0, bw = map(flat, (ax0, ay0, bx0, by0, bw))
+    ax0, ay0, bx0, by0, bw, y0i = map(flat, (ax0, ay0, bx0, by0, bw, y0i))
     draw2 = flat(nb > 0)
     one = flat(nb == 1)
     tall = flat(nb > win // gran)
 
     abx, aby = bx0 - ax0, by0 - ay0
     inv = _inv_for(abx, aby, thickness)
+    if pre:
+        # ay pre-shifted into window coordinates (f32-exact: both terms
+        # are integer-valued and < 2^24 -- identical bits to the
+        # kernel's own `ay - y0` subtraction), and DEAD copies'
+        # endpoints poisoned far off-frame so the pre-decoded stamp
+        # needs no per-window liveness scalar: the x8 overrun pads
+        # reference the globally-last slot (a dead copy whenever any
+        # copy is ineligible), whose poisoned window satisfies neither
+        # the split-stroke distance test nor the Bresenham step bounds.
+        ay0 = jnp.where(draw2, ay0 - y0i.astype(jnp.float32), _POISON)
+        ax0 = jnp.where(draw2, ax0, _POISON)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (bsz, le), 1)
     if one_tier:
@@ -1072,6 +1103,8 @@ def compact_env_idx_soa(
     counts = jnp.concatenate(
         [jnp.stack([n_all, n_one, n_short, n_drop]), per_layer.T], axis=0
     )
+    if pre:
+        return idx, ax0, ay0, abx, aby, inv, bw, y0i, counts
     return idx, ax0, ay0, abx, aby, inv, bw, counts
 
 
@@ -1619,7 +1652,7 @@ def rasterize_rank_packed_soa(
     soa = compact_env_idx_soa(
         u0, v0, u1, v1, draw, k, gran, h, thickness,
         edge_layer=edge_layer, n_layers=n_layers, w=w,
-        layer_bounds=layer_bounds,
+        layer_bounds=layer_bounds, pre=False,
     )
     rank = rasterize_env_rank(
         soa, n_layers, tuple(resolution), thickness, gran=gran,
@@ -1668,11 +1701,15 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
     #             reorganization: 8x fewer stores, same stamps/loads)
     store_probe = os.environ.get("TINYCARLO_STORE", "")
 
-    def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live, val=None):
+    def stamp(xs, ys, rows, y0, ax, ay, abx, aby, inv, live, val=None,
+              shifted=False):
         # scalar-unit folds keep the vector loop lean: the window row
         # offset rides in ay, and the live check rides in the compare
-        # constant (dead slots get r2 = -1, which nothing satisfies)
-        ay = ay - y0.astype(jnp.float32)
+        # constant (dead slots get r2 = -1, which nothing satisfies).
+        # `shifted=True` (the pre-decoded SoA) means ay ALREADY carries
+        # the window shift from compaction.
+        if not shifted:
+            ay = ay - y0.astype(jnp.float32)
         apx = xs - ax
         apy = ys - ay
         hit = _window_hit(apx, apy, abx, aby, inv, live, r2)
@@ -1721,9 +1758,21 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
             )
 
     def _decode(ay, bw):
-        """(ay', b0', nb, rank): strip coords + layer rank per slot."""
-        b0 = bw // _NB_PACK
-        nb = bw - b0 * _NB_PACK
+        """(ay', b0', nb, rank): strip coords + layer rank per slot.
+
+        Shift/mask instead of `// _NB_PACK` (a power of two; bw >= 0):
+        the decode runs on the sequencer's scalar unit once per WINDOW,
+        and an unreduced integer divide there is one of the few
+        per-window costs every round-4/5 component probe kept (loads,
+        stamps, stores, slice addressing all measured free while the
+        half-window probe pays ~20 ns/window -- docs/KERNELS.md
+        round-5)."""
+        if store_probe == "declite":
+            # timing probe (wrong output): no decode at all -- window at
+            # band 0, always live; brackets the whole decode chain
+            return ay, bw * 0, bw * 0 + 1, None
+        b0 = jax.lax.shift_right_logical(bw, jnp.asarray(_NB_SHIFT, bw.dtype))
+        nb = bw & (_NB_PACK - 1)
         if rank_decode is None:
             return ay, b0, nb, None
         n_bands, nxb_, hp_ = rank_decode
@@ -1733,12 +1782,29 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         return ay, b0, nb, (lay + 1).astype(jnp.float32)
 
     def win8(s):
-        ax, ay, abx, aby, inv, bw = load(s)
+        vals = load(s)
+        if len(vals) == 7:  # pre-decoded SoA: no scalar decode at all
+            ax, ayw, abx, aby, inv, bw, y0 = vals
+            stamp(xs8, ys8, gran, y0, ax, ayw, abx, aby, inv, True,
+                  shifted=True)
+            return
+        ax, ay, abx, aby, inv, bw = vals
         ay, b0, nb, val = _decode(ay, bw)
         stamp(xs8, ys8, gran, b0 * gran, ax, ay, abx, aby, inv, nb > 0, val)
 
     def win16(s):
-        ax, ay, abx, aby, inv, bw = load(s)
+        vals = load(s)
+        if len(vals) == 7:
+            # pre-decoded SoA (compact_env_idx_soa pre=True): the window
+            # row arrives as its own scalar, ay is pre-shifted, and dead
+            # slots are endpoint-poisoned -- the whole per-window decode
+            # chain on the sequencer's scalar unit disappears (round-5,
+            # docs/KERNELS.md).
+            ax, ayw, abx, aby, inv, bw, y0 = vals
+            stamp(xs16, ys16, win, y0, ax, ayw, abx, aby, inv, True,
+                  shifted=True)
+            return vals
+        ax, ay, abx, aby, inv, bw = vals
         ay, b0, nb, val = _decode(ay, bw)
         stamp(xs16, ys16, win, b0 * gran, ax, ay, abx, aby, inv, nb > 0, val)
         return ax, ay, abx, aby, inv, b0, nb, val
@@ -1770,18 +1836,38 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         import os as _os
         unroll = int(_os.environ.get("TINYCARLO_UNROLL", 8))
 
-        if store_probe == "acc8":
-            # timing probe: one store per unroll group (see above)
+        if store_probe in ("acc8", "acc8tree"):
+            # timing probe: one store per unroll group (see above).
+            # acc8 merges hits with a SERIAL or-chain; acc8tree with a
+            # balanced tree -- distinguishing store-count cost from the
+            # serial dependency the chain introduces.
             def pack(p, _):
-                acc = None
+                hits = []
                 for u in range(unroll):
-                    ax, ay, abx, aby, inv, bw = load(unroll * p + u)
+                    vals = load(unroll * p + u)
+                    if len(vals) == 7:
+                        ax, ayw, abx, aby, inv, bw, y0 = vals
+                        hits.append(_window_hit(
+                            xs16 - ax, ys16 - ayw, abx, aby, inv, True, r2
+                        ))
+                        continue
+                    ax, ay, abx, aby, inv, bw = vals
                     ay, b0, nb, _val = _decode(ay, bw)
                     ayw = ay - (b0 * gran).astype(jnp.float32)
-                    h = _window_hit(
+                    hits.append(_window_hit(
                         xs16 - ax, ys16 - ayw, abx, aby, inv, nb > 0, r2
-                    )
-                    acc = h if acc is None else (acc | h)
+                    ))
+                if store_probe == "acc8tree":
+                    while len(hits) > 1:
+                        hits = [
+                            hits[i] | hits[i + 1]
+                            for i in range(0, len(hits) - 1, 2)
+                        ] + ([hits[-1]] if len(hits) % 2 else [])
+                    acc = hits[0]
+                else:
+                    acc = hits[0]
+                    for h in hits[1:]:
+                        acc = acc | h
                 pltpu.store(
                     scratch.at[
                         pl.ds(p * 0, win), pl.ds(p * 0, scratch.shape[-1])
@@ -1796,10 +1882,29 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
                     win16(unroll * p + u)
                 return 0
 
-        jax.lax.fori_loop(0, (n_short + unroll - 1) // unroll, pack, 0)
+        n_groups = (n_short + unroll - 1) // unroll
+        if store_probe == "half":
+            # timing probe: run HALF the short-tier windows (wrong
+            # output) -- measures the pure window-count slope, i.e. the
+            # ceiling any fewer-windows reorganization could reach
+            n_groups = n_groups // 2
+        jax.lax.fori_loop(0, n_groups, pack, 0)
 
     def tall_one(s, _):
-        ax, ay, abx, aby, inv, b0, nb, val = win16(s)
+        out = win16(s)
+        if len(out) == 7:
+            # pre-decoded bundle: decode bw lazily (talls are ~10% of
+            # slots) and restore strip coordinates for the tail stamps
+            # (exact: integer-valued f32 round trip)
+            ax, ayw, abx, aby, inv, bw, y0 = out
+            b0 = jax.lax.shift_right_logical(
+                bw, jnp.asarray(_NB_SHIFT, bw.dtype)
+            )
+            nb = bw & (_NB_PACK - 1)
+            ay = ayw + y0.astype(jnp.float32)
+            val = None
+        else:
+            ax, ay, abx, aby, inv, b0, nb, val = out
 
         def tail(bi, _):
             stamp(
@@ -1817,15 +1922,7 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
 def _kernel_env_idx(
     count_ref,
     idx_ref,
-    ax_ref,
-    ay_ref,
-    abx_ref,
-    aby_ref,
-    inv_ref,
-    bw_ref,
-    out_ref,
-    scratch,
-    *,
+    *rest,  # SoA refs (6 round-4 / 7 pre-decoded), then out_ref, scratch
     n_layers,
     h,
     hp,
@@ -1853,6 +1950,8 @@ def _kernel_env_idx(
     in-graph consumers (frozen-encoder feature path, train/td3_loop),
     skipping the uint8 materialization + the downstream /255 convert.
     """
+    soa_refs = rest[:-2]
+    out_ref, scratch = rest[-2], rest[-1]
     wb = _XB if nxb > 1 else w
     i = pl.program_id(0)
     as_uint8 = out_dtype == jnp.uint8
@@ -1883,14 +1982,7 @@ def _kernel_env_idx(
 
             def load(s, g=g):
                 e = idx_ref[g, 0, s]
-                return (
-                    ax_ref[g, 0, e],
-                    ay_ref[g, 0, e],
-                    abx_ref[g, 0, e],
-                    aby_ref[g, 0, e],
-                    inv_ref[g, 0, e],
-                    bw_ref[g, 0, e],
-                )
+                return tuple(r[g, 0, e] for r in soa_refs)
 
             _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran,
                         win, one_tier=one_tier, fill=fill)
@@ -1950,9 +2042,9 @@ def rasterize_env_idx(
     0/255 observation masks; a float dtype gives 0/1 masks for in-graph
     consumers (no uint8 materialization, no downstream /255).
     """
-    idx, ax, ay, abx, aby, inv, bw, counts = soa
+    idx, *arrays, counts = soa  # 6 SoA arrays (round-4) or 7 (pre-decoded)
     h, w = resolution
-    bsz, le = ax.shape
+    bsz, le = arrays[0].shape
     kp = idx.shape[-1]
     assert bsz % group == 0, "batch must divide by the env group size"
     _, hp, win = _window_rows(gran, h)
@@ -1983,7 +2075,7 @@ def rasterize_env_idx(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # the count bundle lands in SMEM
         grid=(bsz // group,),
-        in_specs=[smem_idx] + [smem_soa] * 6,
+        in_specs=[smem_idx] + [smem_soa] * len(arrays),
         out_specs=pl.BlockSpec(
             (group, n_layers, h, w), lambda i, c: (i, 0, 0, 0)
         ),
@@ -1999,24 +2091,14 @@ def rasterize_env_idx(
     )(
         counts,
         idx.reshape(bsz, 1, kp),
-        *(x.reshape(bsz, 1, le) for x in (ax, ay, abx, aby, inv, bw)),
+        *(x.reshape(bsz, 1, le) for x in arrays),
     )
 
 
 def _kernel_env_dma(
     count_ref,
     idx_ref,
-    ax_ref,
-    ay_ref,
-    abx_ref,
-    aby_ref,
-    inv_ref,
-    bw_ref,
-    out_hbm,
-    scratch,
-    staging,
-    sems,
-    *,
+    *rest,  # SoA refs (6 round-4 / 7 pre-decoded), out_hbm, scratch, staging, sems
     n_layers,
     h,
     hp,
@@ -2040,6 +2122,8 @@ def _kernel_env_dma(
     copy of the whole slab, waiting on the slab's semaphore `nbuf`
     instances later, so several copies ride under the window compute.
     """
+    soa_refs = rest[:-4]
+    out_hbm, scratch, staging, sems = rest[-4:]
     wb = _XB if nxb > 1 else w
     wp = nxb * _XB if nxb > 1 else max(w, _XB)
     i = pl.program_id(0)
@@ -2083,15 +2167,11 @@ def _kernel_env_dma(
                     # measurement-only: constant scalars isolate the SMEM
                     # load share of per-window mechanics (output garbage)
                     z = jnp.float32(0.0)
-                    return (z, z, z + 1.0, z, z + 1.0, e * 0 + 513)
-                return (
-                    ax_ref[g, 0, e],
-                    ay_ref[g, 0, e],
-                    abx_ref[g, 0, e],
-                    aby_ref[g, 0, e],
-                    inv_ref[g, 0, e],
-                    bw_ref[g, 0, e],
-                )
+                    base = (z, z, z + 1.0, z, z + 1.0, e * 0 + 513)
+                    if len(soa_refs) == 7:
+                        return base + (e * 0,)
+                    return base
+                return tuple(r[g, 0, e] for r in soa_refs)
 
             _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran,
                         win, one_tier=one_tier)
@@ -2162,9 +2242,9 @@ def rasterize_env_dma(
     output. Requires h to be a multiple of 8 on real hardware (camera
     resolutions are); arbitrary h works in interpret mode.
     """
-    idx, ax, ay, abx, aby, inv, bw, counts = soa
+    idx, *arrays, counts = soa  # 6 SoA arrays (round-4) or 7 (pre-decoded)
     h, w = resolution
-    bsz, le = ax.shape
+    bsz, le = arrays[0].shape
     kp = idx.shape[-1]
     assert bsz % group == 0, "batch must divide by the env group size"
     _, hp, win = _window_rows(gran, h)
@@ -2195,7 +2275,7 @@ def rasterize_env_dma(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz // group,),
-        in_specs=[smem_idx] + [smem_soa] * 6,
+        in_specs=[smem_idx] + [smem_soa] * len(arrays),
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((n_layers * nxb * hp, wb), _scratch_dtype()),
@@ -2211,7 +2291,7 @@ def rasterize_env_dma(
     )(
         counts,
         idx.reshape(bsz, 1, kp),
-        *(x.reshape(bsz, 1, le) for x in (ax, ay, abx, aby, inv, bw)),
+        *(x.reshape(bsz, 1, le) for x in arrays),
     )
     return out if wp == w else out[..., :w]
 
@@ -2356,10 +2436,13 @@ def rasterize_masks_packed_pallas_soa(
     # Index-indirection compaction (no one-hot routing matmul): measured
     # 3.0 -> 1.7 ms compaction / 9.5 -> 8.9 ms fused at the 4096-env
     # reference workload vs compact_env_soa (docs/KERNELS.md round-2).
+    # pre-decoded SoA by default (round-5); TINYCARLO_PREDEC=off is the
+    # round-4 decode-in-kernel A/B arm.
     soa = compact_env_idx_soa(
         u0, v0, u1, v1, draw, k, gran, h, thickness,
         edge_layer=edge_layer, n_layers=n_layers, w=w,
         layer_bounds=layer_bounds,
+        pre=os.environ.get("TINYCARLO_PREDEC", "on") != "off",
     )
     bsz = soa[0].shape[0]
     # Output-path selection: the multi-buffered manual-DMA kernel
@@ -2377,7 +2460,7 @@ def rasterize_masks_packed_pallas_soa(
     kp = soa[0].shape[-1]
     group = 8
     while group > 1 and (
-        bsz % group or 2 * group * (kp + 6 * le) * 4 > 512 * 1024
+        bsz % group or 2 * group * (kp + 7 * le) * 4 > 512 * 1024
     ):
         group //= 2
     # The dma kernel only wins in the many-small-frames regime where a
@@ -2773,8 +2856,9 @@ def _tier_loops_exact(load, scratch, n, n_short, wb, thickness, gran, win):
     def win16(s):
         vals = load(s)
         bw = vals[-1]
-        b0 = bw // _NB_PACK
-        nb = bw - b0 * _NB_PACK
+        # shift/mask decode on the scalar unit (see _tier_loops._decode)
+        b0 = jax.lax.shift_right_logical(bw, jnp.asarray(_NB_SHIFT, bw.dtype))
+        nb = bw & (_NB_PACK - 1)
         stamp(xs16, ys16, win, b0 * gran, vals, nb > 0)
         return vals, b0, nb
 
