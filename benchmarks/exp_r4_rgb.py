@@ -91,6 +91,27 @@ def main():
     timed("comp-planar", planar, lambda i: comp(i, True),
           lambda b: b[:, :, 60:62], nb_hwc + nb_rank)
 
+    # Round-5 (verdict #7): the HWC bytes viewed as (B, H, W*3) -- the
+    # IDENTICAL row-major byte stream with a lane-friendly 480 minor dim
+    # instead of 3. If the flat view fills/composites at planar-like
+    # rates and the final reshape back to (B, H, W, 3) stays fused, a
+    # flat-viewed producer would beat the direct HWC store; if the
+    # reshape materializes a relayout copy at the 11-19 GB/s HWC rate,
+    # that closes the floor argument instead.
+    flat3 = (N_ENVS, H, W * 3)
+    timed("fill-flat3 ", flat3, lambda i: jnp.full(flat3, i, jnp.uint8),
+          lambda b: b[:, 60:62], nb_hwc)
+
+    def comp_flat(i, reshape_back):
+        frame = comp(i, False)  # (B, H, W, 3) values
+        flat = frame.reshape(flat3)
+        return flat.reshape(hwc) if reshape_back else flat
+
+    timed("comp-flat3 ", flat3, lambda i: comp_flat(i, False),
+          lambda b: b[:, 60:62], nb_hwc + nb_rank)
+    timed("comp-flat3r", hwc, lambda i: comp_flat(i, True),
+          lambda b: b[:, 60:62], nb_hwc + nb_rank)
+
 
 if __name__ == "__main__":
     main()
