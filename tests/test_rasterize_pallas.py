@@ -737,3 +737,40 @@ def test_exact_stroke_auto_entry():
         ]
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
+def test_predecoded_soa_bit_equal():
+    """compact_env_idx_soa(pre=True) -- the opt-in scalar-chain
+    experiment arm (TINYCARLO_PREDEC=on, docs/KERNELS.md round-5) --
+    is bit-equal to the production pre=False arm through both output
+    kernels, including dead/off-frame copies (endpoint poisoning), the
+    x8 overrun pads, oversubscription, and tall segments."""
+    from tinycarlo_tpu.ops.rasterize_pallas import (
+        _n_xblocks,
+        compact_env_idx_soa,
+        rasterize_env_idx,
+    )
+
+    rng = np.random.default_rng(55)
+    B, E, L, H, W, t = 4, 40, 3, 48, 160, 2
+    u0 = jnp.asarray(rng.uniform(-80, W + 80, (B, 1, E)), jnp.float64)
+    v0 = jnp.asarray(rng.uniform(-80, H + 80, (B, 1, E)), jnp.float64)
+    u1 = u0 + jnp.asarray(rng.uniform(-60, 60, (B, 1, E)), jnp.float64)
+    v1 = v0 + jnp.asarray(rng.uniform(-60, 60, (B, 1, E)), jnp.float64)
+    draw = jnp.asarray(rng.random((B, 1, E)) < 0.7)
+    el = jnp.asarray(rng.integers(0, L, (E,)), jnp.int32)
+    for k_budget in (E * _n_xblocks(W), 8 * _n_xblocks(W)):
+        outs = []
+        for pre in (False, True):
+            soa = compact_env_idx_soa(
+                u0.astype(jnp.float32), v0.astype(jnp.float32),
+                u1.astype(jnp.float32), v1.astype(jnp.float32), draw,
+                k_budget, 16, H, t, edge_layer=el, n_layers=L, w=W,
+                pre=pre,
+            )
+            assert len(soa) == (9 if pre else 8)
+            outs.append(np.asarray(rasterize_env_idx(
+                soa, L, (H, W), t, gran=16, split=True, interpret=True
+            )))
+        np.testing.assert_array_equal(outs[0], outs[1])
+        assert outs[0].sum() > 0

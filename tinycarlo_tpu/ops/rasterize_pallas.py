@@ -872,7 +872,7 @@ def compact_env_idx(
     w: Optional[int] = None,
     one_tier: bool = False,
     layer_bounds: Optional[Tuple[int, ...]] = None,
-    pre: bool = True,
+    pre: bool = False,
 ):
     """Point-array entry: slices the stacked endpoints and delegates to
     `compact_env_idx_soa` (see there for semantics)."""
@@ -898,7 +898,7 @@ def compact_env_idx_soa(
     w: Optional[int] = None,
     one_tier: bool = False,
     layer_bounds: Optional[Tuple[int, ...]] = None,
-    pre: bool = True,
+    pre: bool = False,
 ):
     """Index-indirection variant of `compact_env_soa`: no routing matmul.
 
@@ -914,8 +914,8 @@ def compact_env_idx_soa(
     Returns (idx, ax, ay, abx, aby, inv, bw[, y0i], counts): idx (B, k)
     int32, SoA arrays (B, LE) f32 / int32 bw, counts (4 + n_layers, B)
     int32 -- rows [live, one-band count, short count, dropped,
-    per-layer live * n_layers]. With `pre=True` (default; the masks
-    kernels' contract) the bundle additionally carries y0i -- the
+    per-layer live * n_layers]. With `pre=True` the bundle additionally
+    carries y0i -- the
     pre-decoded stacked window row -- with ay pre-shifted into window
     coordinates and dead copies' endpoints poisoned (see the inline
     note); `pre=False` keeps the round-4 8-tuple (the rank kernel's
@@ -2436,13 +2436,17 @@ def rasterize_masks_packed_pallas_soa(
     # Index-indirection compaction (no one-hot routing matmul): measured
     # 3.0 -> 1.7 ms compaction / 9.5 -> 8.9 ms fused at the 4096-env
     # reference workload vs compact_env_soa (docs/KERNELS.md round-2).
-    # pre-decoded SoA by default (round-5); TINYCARLO_PREDEC=off is the
-    # round-4 decode-in-kernel A/B arm.
+    # The pre-decoded SoA (TINYCARLO_PREDEC=on) measured a further
+    # ~0.07 ms in the proj+compact+kernel A/B but the FULL fused bench
+    # program with it dies with a runtime InvalidArgument on the
+    # tunneled chip (3/3, both output kernels, chunk 100 and 400, while
+    # a 16-step fused repro passes) -- undiagnosed; kept as an opt-in
+    # experiment arm, off in production (docs/KERNELS.md round-5).
     soa = compact_env_idx_soa(
         u0, v0, u1, v1, draw, k, gran, h, thickness,
         edge_layer=edge_layer, n_layers=n_layers, w=w,
         layer_bounds=layer_bounds,
-        pre=os.environ.get("TINYCARLO_PREDEC", "on") != "off",
+        pre=os.environ.get("TINYCARLO_PREDEC", "off") == "on",
     )
     bsz = soa[0].shape[0]
     # Output-path selection: the multi-buffered manual-DMA kernel
