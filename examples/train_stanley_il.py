@@ -62,9 +62,17 @@ if __name__ == "__main__":
     else:
         print("Collecting training data:")
         st = time.perf_counter()
+        # --chunk-steps: collection episode length. The default 128 steps
+        # rarely reaches a junction from a fresh spawn, so maneuver-2
+        # chunks are mostly straight frames LABELED left -- more m2x then
+        # actively teaches "left = straight" (the round-5 sweep measured
+        # m2 reward 1098 -> -659 -> -1177 at m2x 2@30k / 2@60k / 4@60k).
+        # Longer chunks cover several junctions per labeled maneuver,
+        # like the reference's long episodes (train_stanley_il.py:68-78).
+        chunk_steps = _arg("--chunk-steps", 128)
         X, M, Y = collect_dataset(
             params, cfg, jax.random.key(0), n_samples, n_envs=n_envs,
-            maneuver_cycle=cycle,
+            maneuver_cycle=cycle, chunk_steps=chunk_steps,
         )
         print(
             f"collected {len(X)} samples in {time.perf_counter()-st:.1f}s "
@@ -83,6 +91,18 @@ if __name__ == "__main__":
         "m": jnp.asarray(M, jnp.int32),
         "y": jnp.asarray(Y),
     }
+    if "--balance" in sys.argv:
+        # maneuver-balanced batches (train.il.train_chunk docstring):
+        # per-maneuver index pools, repeat-padded to equal length
+        pools, pool_n = [], []
+        mx = max((M == m).sum() for m in range(3))
+        for m in range(3):
+            ids = np.where(M == m)[0]
+            pool_n.append(len(ids))
+            pools.append(np.resize(ids, mx))
+        data["pools"] = jnp.asarray(np.stack(pools), jnp.int32)
+        data["pool_n"] = jnp.asarray(pool_n, jnp.int32)
+        print(f"balanced batches; per-maneuver samples: {pool_n}")
     CHUNK = 500
     # data must be a jit ARGUMENT (not closed over): a captured 1.5 GB
     # constant gets baked into the compiled program

@@ -1776,8 +1776,17 @@ def _tier_loops(load, scratch, n, n_one, n_short, wb, r2, gran, win,
         if rank_decode is None:
             return ay, b0, nb, None
         n_bands, nxb_, hp_ = rank_decode
-        lay = b0 // (n_bands * nxb_)
-        b0 = b0 - lay * (n_bands * nxb_)
+        fb = n_bands * nxb_
+        if fb & (fb - 1) == 0:
+            # power-of-two frame stride (the reference 128x160 shape:
+            # 8 bands x 2 blocks): the layer peel is a shift/mask too --
+            # the rank path's analogue of the round-5 divide fix
+            sh = jnp.asarray(fb.bit_length() - 1, b0.dtype)
+            lay = jax.lax.shift_right_logical(b0, sh)
+            b0 = b0 & (fb - 1)
+        else:
+            lay = b0 // fb
+            b0 = b0 - lay * fb
         ay = ay - (lay * (nxb_ * hp_)).astype(jnp.float32)
         return ay, b0, nb, (lay + 1).astype(jnp.float32)
 

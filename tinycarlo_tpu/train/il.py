@@ -113,11 +113,36 @@ def train_chunk(
     indices are drawn on-device and the uint8->float conversion happens
     per batch inside the scan, so the host pays one dispatch per chunk
     instead of one per step (the reference pays a host->GPU copy per step,
-    train_stanley_il.py:119-121). Returns (state, losses (n_steps,))."""
+    train_stanley_il.py:119-121). Returns (state, losses (n_steps,)).
+
+    If `data` carries `pools` ((M, P) int32 per-maneuver sample-index
+    pools, repeat-padded) and `pool_n` ((M,) live pool sizes), batches
+    are drawn MANEUVER-BALANCED: batch_size // M indices per maneuver
+    plus a uniform remainder. Left turns are rare on loop maps even
+    inside left-maneuver collection chunks, so uniform sampling lets
+    straight-driving frames dominate the MSE; balancing the batch (an
+    extension -- the reference trains uniform, train_stanley_il.py:119)
+    equalizes the per-maneuver gradient mass without changing the model
+    or the data."""
     n = data["x"].shape[0]
 
     def body(s, k):
-        idx = jax.random.randint(k, (cfg.batch_size,), 0, n)
+        if "pools" in data:
+            n_m = data["pools"].shape[0]
+            per = cfg.batch_size // n_m
+            ks = jax.random.split(k, n_m + 1)
+            parts = [
+                data["pools"][m][
+                    jax.random.randint(ks[m], (per,), 0, data["pool_n"][m])
+                ]
+                for m in range(n_m)
+            ]
+            rem = cfg.batch_size - per * n_m
+            if rem:
+                parts.append(jax.random.randint(ks[n_m], (rem,), 0, n))
+            idx = jnp.concatenate(parts)
+        else:
+            idx = jax.random.randint(k, (cfg.batch_size,), 0, n)
         batch = {
             "x": pre_obs(data["x"][idx]),
             "m": jax.nn.one_hot(data["m"][idx], cfg.maneuver_dim),
