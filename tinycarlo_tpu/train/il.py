@@ -42,6 +42,11 @@ class ILConfig:
     skip_steps: int = struct.field(pytree_node=False, default=2)
     maneuver_dim: int = struct.field(pytree_node=False, default=3)
     action_dim: int = struct.field(pytree_node=False, default=1)
+    # collection-time divergence cut: the reference collects under
+    # CTETerminationWrapper(max_cte=0.15) (train_stanley_il.py:84),
+    # terminating (here: auto-resetting) cars the OU noise pushed off
+    # the path instead of recording their runaway frames/labels
+    collect_max_cte: float = struct.field(pytree_node=False, default=0.15)
 
 
 @struct.dataclass
@@ -218,7 +223,29 @@ def collect_chunk(
     """
     k_cam, k_reset, k_scan = jax.random.split(key, 3)
     params = randomize_camera(params, k_cam)
-    vstate, _ = vector.reset(params, k_reset, n_envs, render=False)
+    # Collection runs under the reference's CTETerminationWrapper
+    # (train_stanley_il.py:84: max_cte=0.15): a diverged car (OU noise
+    # off a turn) terminates and auto-resets instead of continuing to
+    # emit off-path frames with runaway Stanley labels. Without this,
+    # oversampled left-maneuver chunks accumulate exactly that garbage
+    # and MORE left data makes left turns WORSE (the round-5 m2x sweep,
+    # docs/TRAINING.md).
+    from tinycarlo_tpu.wrapper.functional import (
+        WrapperStack,
+        cte_termination,
+    )
+
+    stack = WrapperStack(
+        termination_fns=(
+            partial(
+                cte_termination, max_cte=cfg.collect_max_cte,
+                number_of_steps=1,
+            ),
+        ),
+    )
+    vstate, _ = vector.reset(
+        params, k_reset, n_envs, stack=stack, render=False
+    )
     max_steer = params.cfg.car.max_steering_angle
     env_dtype = params.camera.E.dtype
     noise0 = jnp.zeros((n_envs, cfg.action_dim), env_dtype)
@@ -253,7 +280,7 @@ def collect_chunk(
             "maneuver": act_maneuver,
         }
         vstate, _, _, _, _, info = vector.step(
-            params, vstate, action, render=False
+            params, vstate, action, stack=stack, render=False
         )
         out = {
             "obs": obs,
