@@ -88,7 +88,7 @@ def measure_ours():
         # it to a relayout copy of the whole buffer with the gather dims
         # minor (measured 25x padding expansion -> OOM).
         checksum = checksum + jnp.sum(
-            obs[:, :, 60:64, :], dtype=jnp.uint32
+            obs[..., 60:64, :], dtype=jnp.uint32
         )
         steering = jnp.clip(
             stanley_steering(

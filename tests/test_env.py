@@ -179,3 +179,57 @@ def test_rgb_planar_matches_rgb():
     hwc_b = _np.asarray(tenv.render_observation_batch(p_rgb, vstate.env))
     pl_b = _np.asarray(tenv.render_observation_batch(p_pl, vstate.env))
     _np.testing.assert_array_equal(pl_b, _np.moveaxis(hwc_b, -1, 1))
+
+
+def test_rank_format_decodes_to_rgb_and_classes():
+    """The "rank" extension (1 byte/pixel paint-order layer map) decodes
+    bit-identically to the rgb frame via the palette, and its
+    classes_from_rank one-hot agrees with the class masks everywhere the
+    masks don't overlap (rank keeps only the last-painted layer,
+    reference renderer.py:41-43)."""
+    import numpy as _np
+
+    from tinycarlo_tpu.ops import rasterize as ras
+
+    cfg = dict(CONFIG)
+    cfg["camera"] = dict(CONFIG["camera"], resolution=[32, 40])
+    cfg["sim"] = dict(CONFIG["sim"], observation_space_format="rank")
+    p_rank = tenv.make_env_params(cfg, dtype=jnp.float64)
+    assert tenv.observation_shape(p_rank) == (32, 40)
+    cfg2 = dict(cfg)
+    cfg2["sim"] = dict(cfg["sim"], observation_space_format="rgb")
+    p_rgb = tenv.make_env_params(cfg2, dtype=jnp.float64)
+    cfg3 = dict(cfg)
+    cfg3["sim"] = dict(cfg["sim"], observation_space_format="classes")
+    p_cls = tenv.make_env_params(cfg3, dtype=jnp.float64)
+
+    # single-env path
+    state, rank_obs, _ = tenv.reset(p_rank, jax.random.key(7))
+    assert rank_obs.shape == (32, 40) and rank_obs.dtype == jnp.uint8
+    rgb = _np.asarray(tenv.render_observation(p_rgb, state))
+    _np.testing.assert_array_equal(
+        _np.asarray(ras.rgb_from_rank(rank_obs, p_rgb.map_data.laneline_colors)),
+        rgb,
+    )
+    assert int(_np.asarray(rank_obs).sum()) > 0
+
+    # batched path + classes round-trip
+    from tinycarlo_tpu import vector
+
+    vstate, _ = vector.reset(p_rank, jax.random.key(8), 4, render=False)
+    rank_b = _np.asarray(tenv.render_observation_batch(p_rank, vstate.env))
+    cls_b = _np.asarray(tenv.render_observation_batch(p_cls, vstate.env))
+    assert rank_b.shape == (4, 32, 40)
+    _np.testing.assert_array_equal(
+        rank_b, _np.asarray(ras.rank_from_masks(jnp.asarray(cls_b)))
+    )
+    dec = _np.asarray(
+        ras.classes_from_rank(jnp.asarray(rank_b), p_cls.map_data.n_layers)
+    )
+    # wherever the decoded one-hot is set, the true mask is set (the
+    # converse fails only at overlaps, where rank keeps the top layer)
+    assert _np.all(cls_b[dec > 0] > 0)
+    no_overlap = _np.broadcast_to(
+        (cls_b > 0).sum(1, keepdims=True) <= 1, dec.shape
+    )
+    _np.testing.assert_array_equal(dec[no_overlap], cls_b[no_overlap])

@@ -149,3 +149,20 @@ def test_bundled_pretrained_combo_loads():
         v, pre_obs(jnp.zeros((2, 128, 160, 3), jnp.uint8)), jnp.eye(3)[:2]
     )
     assert out.shape == (2, 1)
+
+
+def test_pre_obs_rank_matches_classes_decode():
+    """pre_obs_rank(rank) == pre_obs(classes_from_rank(rank)): the fused
+    rank decode produces the same NHWC float feed as decoding to the
+    classes contract first."""
+    import numpy as np
+
+    from tinycarlo_tpu.models.tinycar_net import pre_obs, pre_obs_rank
+    from tinycarlo_tpu.ops.rasterize import classes_from_rank
+
+    rng = np.random.default_rng(3)
+    rank = jnp.asarray(rng.integers(0, 6, size=(2, 16, 20), dtype=np.uint8))
+    a = np.asarray(pre_obs_rank(rank, 5))
+    b = np.asarray(pre_obs(classes_from_rank(rank, 5)))
+    assert a.shape == (2, 16, 20, 5) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)

@@ -20,7 +20,7 @@ class SimConfig:
     # Defaults mirror reference tinycarlo/env.py:40-45.
     fps: int = 30
     render_realtime: bool = False
-    observation_space_format: str = "rgb"  # "rgb", "classes", or "rgb_planar" (extension: channel-planar rgb, see env.observation_shape)
+    observation_space_format: str = "rgb"  # "rgb", "classes", or the extensions "rgb_planar" (channel-planar rgb) / "rank" (1-byte/pixel paint-order layer map) -- see env.observation_shape
     overview_pixel_per_meter: int = 150
     render_node_names: bool = False
     real_world_env: Optional[str] = None

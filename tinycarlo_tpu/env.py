@@ -79,6 +79,16 @@ def observation_shape(params: EnvParams) -> Tuple[int, ...]:
         # vs ~150-230 GB/s planar (docs/KERNELS.md round-4), so this is
         # the throughput rgb contract
         return (3, h, w)
+    if fmt == "rank":
+        # extension: paint-order layer-rank map (0 = background, l+1 =
+        # layer l on top, renderer.py:41-43) -- the information content
+        # of an rgb frame at ONE byte/pixel. The uint8 store floor is
+        # the measured per-chip ceiling for the mask formats
+        # (docs/KERNELS.md round-5 conclusion: further gains need a
+        # different observation contract); rank writes 1/L of classes'
+        # bytes. Decode with ops.rasterize.rgb_from_rank /
+        # rgb_planar_from_rank / classes_from_rank.
+        return (h, w)
     return (params.map_data.n_layers, h, w)
 
 
@@ -109,6 +119,8 @@ def _project_all_layers(params: EnvParams, car_state) -> Tuple[jnp.ndarray, ...]
 def _masks_to_obs(params: EnvParams, masks, draw_bundle, fmt):
     if fmt == "classes":
         return masks
+    if fmt == "rank":
+        return ras.rank_from_masks(masks)
     if fmt == "rgb_planar":
         return ras.rasterize_rgb_planar(
             masks, params.map_data.laneline_colors
@@ -256,7 +268,7 @@ def render_observation_batch(
     import os as _os
 
     if (
-        fmt in ("rgb", "rgb_planar")
+        fmt in ("rgb", "rgb_planar", "rank")
         and ras._effective_platform() == "tpu"
         and _os.environ.get("TINYCARLO_RGB", "rank") == "rank"
         and not (cfg.camera.stroke == "exact"
@@ -265,7 +277,9 @@ def render_observation_batch(
         # rgb fast path: the rank kernel emits a (B, H, W) layer-rank
         # map (1/5th the output bytes of the per-layer masks) and the
         # palette composite reads that instead of re-reading the masks
-        # -- identical frames (rasterize.rgb_from_rank)
+        # -- identical frames (rasterize.rgb_from_rank). fmt="rank"
+        # returns the rank map itself: the 1-byte/pixel observation
+        # contract (see observation_shape).
         from tinycarlo_tpu.ops.rasterize_pallas import (
             rasterize_rank_packed_soa,
         )
@@ -276,6 +290,8 @@ def render_observation_batch(
             max_visible=cfg.camera.max_visible_segments,
             layer_bounds=md.packed_layer_bounds or None,
         )
+        if fmt == "rank":
+            return rank
         if fmt == "rgb_planar":
             return ras.rgb_planar_from_rank(rank, md.laneline_colors)
         return ras.rgb_from_rank(rank, md.laneline_colors)
@@ -289,6 +305,11 @@ def render_observation_batch(
     )
     if fmt == "classes":
         return masks
+    if fmt == "rank":
+        # CPU / exact-stroke fallback: rank derived from the full masks
+        # (bit-identical to the TPU rank kernel's map; paint order =
+        # layer order, renderer.py:41-43)
+        return ras.rank_from_masks(masks)
     if fmt == "rgb_planar":
         return ras.rasterize_rgb_planar(masks, md.laneline_colors)
     # rgb: composite the class masks by layer color (rasterize_rgb with

@@ -57,6 +57,20 @@ def pre_obs(obs: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def pre_obs_rank(obs: jnp.ndarray, n_layers: int) -> jnp.ndarray:
+    """(..., H, W) uint8 rank observation -> float NHWC one-hot in {0,1}.
+
+    In-graph decode for the "rank" observation contract
+    (env.observation_shape): channel l is 1 where layer l is the
+    last-painted layer at that pixel -- the classes feed up to paint
+    order (reference renderer.py:41-43), produced from 1/L of the
+    observation bytes. Fuses the decode with the /255 scaling step
+    (benchmark_tinycar_net.py:20-21): the one-hot IS the scaled mask.
+    """
+    ids = jnp.arange(1, n_layers + 1, dtype=obs.dtype)
+    return (obs[..., None] == ids).astype(jnp.float32)
+
+
 class ConvBlock(nn.Module):
     """Conv3x3 stride 2 + BN + ReLU. Reference: tinycar_net.py:18-25."""
 

@@ -320,6 +320,39 @@ def rgb_from_rank(rank: jnp.ndarray, colors: jnp.ndarray) -> jnp.ndarray:
     return frame
 
 
+def rank_from_masks(masks: jnp.ndarray) -> jnp.ndarray:
+    """(..., L, H, W) class masks -> (..., H, W) uint8 layer-rank map.
+
+    0 = background, l+1 = layer l painted last (cv2 paints layers in
+    index order with later layers overwriting, renderer.py:41-43, so the
+    highest set layer index wins). Dense/CPU counterpart of the TPU rank
+    kernel (rasterize_pallas.rasterize_rank_packed_soa) and the decode
+    target of `rgb_from_rank`/`classes_from_rank`; the paint-order
+    observation contract for `observation_space_format: "rank"` (1/(3L)
+    of the rgb bytes, 1/L of classes)."""
+    L = masks.shape[-3]
+    ranks = jnp.arange(1, L + 1, dtype=jnp.uint8).reshape((L, 1, 1))
+    return jnp.max(
+        jnp.where(masks > 0, ranks, jnp.uint8(0)), axis=-3
+    )
+
+
+def classes_from_rank(rank: jnp.ndarray, n_layers: int,
+                      out_dtype=jnp.uint8) -> jnp.ndarray:
+    """(..., H, W) rank map -> (..., L, H, W) one-hot class masks.
+
+    Inverse of `rank_from_masks` up to paint order: where layers overlap
+    only the LAST-painted layer's channel is set (the rank map stores one
+    layer per pixel -- the same information an rgb frame carries,
+    renderer.py:41-43). uint8 emits the env contract's 0/255; float
+    dtypes emit 0/1 for in-graph consumers (e.g. an encoder feed)."""
+    L = n_layers
+    ids = jnp.arange(1, L + 1, dtype=rank.dtype).reshape((L, 1, 1))
+    hit = rank[..., None, :, :] == ids
+    one = 255 if jnp.dtype(out_dtype) == jnp.uint8 else 1
+    return jnp.where(hit, one, 0).astype(out_dtype)
+
+
 def rgb_planar_from_rank(rank, colors) -> "jnp.ndarray":
     """(..., H, W) uint8 rank map -> (..., 3, H, W) uint8 PLANAR rgb.
 
