@@ -30,6 +30,7 @@ from tinycarlo_tpu.train.evaluate import combo_policy
 from tinycarlo_tpu.train.il import (
     ILConfig,
     collect_dataset,
+    collect_dataset_dagger,
     create,
     save_variables_npz,
     train_chunk,
@@ -51,10 +52,29 @@ if __name__ == "__main__":
     m2x = _arg("--m2x", 1)
     cycle = (0, 1, 2) + (2,) * (m2x - 1)
 
+    # --turn-weight W (x100): weight each sample's MSE by
+    # 1 + W*min(|label|,1) (train.il.ILConfig.turn_weight) -- e.g.
+    # "--turn-weight 200" is W=2.0
+    turn_w = _arg("--turn-weight", 0) / 100.0
+
     params = fenv.make_env_params(default_config())
-    cfg = ILConfig(steps=n_steps)
+    # --no-dr: collect against the fixed default camera instead of the
+    # reference's per-chunk pitch/fov randomization (ILConfig.camera_dr)
+    cfg = ILConfig(
+        steps=n_steps,
+        turn_weight=turn_w,
+        camera_dr="--no-dr" not in sys.argv,
+    )
     obs_shape = fenv.observation_shape(params)
 
+    # --chunk-steps: collection episode length. The default 128 steps
+    # rarely reaches a junction from a fresh spawn, so maneuver-2
+    # chunks are mostly straight frames LABELED left -- more m2x then
+    # actively teaches "left = straight" (the round-5 sweep measured
+    # m2 reward 1098 -> -659 -> -1177 at m2x 2@30k / 2@60k / 4@60k).
+    # Longer chunks cover several junctions per labeled maneuver,
+    # like the reference's long episodes (train_stanley_il.py:68-78).
+    chunk_steps = _arg("--chunk-steps", 128)
     if os.path.exists(BUFFER_SAVEFILE):
         print(f"Loading training data from disk: {BUFFER_SAVEFILE}")
         data = np.load(BUFFER_SAVEFILE)
@@ -62,14 +82,6 @@ if __name__ == "__main__":
     else:
         print("Collecting training data:")
         st = time.perf_counter()
-        # --chunk-steps: collection episode length. The default 128 steps
-        # rarely reaches a junction from a fresh spawn, so maneuver-2
-        # chunks are mostly straight frames LABELED left -- more m2x then
-        # actively teaches "left = straight" (the round-5 sweep measured
-        # m2 reward 1098 -> -659 -> -1177 at m2x 2@30k / 2@60k / 4@60k).
-        # Longer chunks cover several junctions per labeled maneuver,
-        # like the reference's long episodes (train_stanley_il.py:68-78).
-        chunk_steps = _arg("--chunk-steps", 128)
         X, M, Y = collect_dataset(
             params, cfg, jax.random.key(0), n_samples, n_envs=n_envs,
             maneuver_cycle=cycle, chunk_steps=chunk_steps,
@@ -85,42 +97,75 @@ if __name__ == "__main__":
     )
 
     state = create(jax.random.key(1), obs_shape, cfg)
-    # device-resident dataset; batches are sampled and converted on-device
-    data = {
-        "x": jnp.asarray(X),
-        "m": jnp.asarray(M, jnp.int32),
-        "y": jnp.asarray(Y),
-    }
-    if "--balance" in sys.argv:
-        # maneuver-balanced batches (train.il.train_chunk docstring):
-        # per-maneuver index pools, repeat-padded to equal length
-        pools, pool_n = [], []
-        mx = max((M == m).sum() for m in range(3))
-        for m in range(3):
-            ids = np.where(M == m)[0]
-            pool_n.append(len(ids))
-            pools.append(np.resize(ids, mx))
-        data["pools"] = jnp.asarray(np.stack(pools), jnp.int32)
-        data["pool_n"] = jnp.asarray(pool_n, jnp.int32)
-        print(f"balanced batches; per-maneuver samples: {pool_n}")
+
+    def make_data(X, M, Y):
+        # device-resident dataset; batches are sampled and converted
+        # on-device
+        data = {
+            "x": jnp.asarray(X),
+            "m": jnp.asarray(M, jnp.int32),
+            "y": jnp.asarray(Y),
+        }
+        if "--balance" in sys.argv:
+            # maneuver-balanced batches (train.il.train_chunk docstring):
+            # per-maneuver index pools, repeat-padded to equal length
+            pools, pool_n = [], []
+            mx = max((M == m).sum() for m in range(3))
+            for m in range(3):
+                ids = np.where(M == m)[0]
+                pool_n.append(len(ids))
+                pools.append(np.resize(ids, mx))
+            data["pools"] = jnp.asarray(np.stack(pools), jnp.int32)
+            data["pool_n"] = jnp.asarray(pool_n, jnp.int32)
+            print(f"balanced batches; per-maneuver samples: {pool_n}")
+        return data
+
     CHUNK = 500
     # data must be a jit ARGUMENT (not closed over): a captured 1.5 GB
     # constant gets baked into the compiled program
     run = jax.jit(partial(train_chunk, cfg=cfg, n_steps=CHUNK))
 
+    def train(state, data, n_steps, key):
+        losses = []
+        st = time.perf_counter()
+        for i in range(n_steps // CHUNK):
+            key, sub = jax.random.split(key)
+            state, chunk_losses = run(state, key=sub, data=data)
+            losses += list(np.asarray(chunk_losses))
+            print(
+                f"step {(i+1)*CHUNK}/{n_steps} loss "
+                f"{np.mean(losses[-CHUNK:]):.6f} "
+                f"({(i+1)*CHUNK/(time.perf_counter()-st):.0f} steps/s)"
+            )
+        return state, losses
+
     print("Training:")
-    losses = []
-    key = jax.random.key(2)
-    st = time.perf_counter()
-    for i in range(cfg.steps // CHUNK):
-        key, sub = jax.random.split(key)
-        state, chunk_losses = run(state, key=sub, data=data)
-        losses += list(np.asarray(chunk_losses))
-        print(
-            f"step {(i+1)*CHUNK}/{cfg.steps} loss "
-            f"{np.mean(losses[-CHUNK:]):.6f} "
-            f"({(i+1)*CHUNK/(time.perf_counter()-st):.0f} steps/s)"
+    state, losses = train(state, make_data(X, M, Y), cfg.steps, jax.random.key(2))
+
+    # --dagger N: one DAgger round (train.il.collect_chunk_dagger) --
+    # roll out the TRAINED policy, label with the Stanley expert, and
+    # continue training on expert+correction data. Attacks the compounding
+    # error on rare maneuvers that plain behavior cloning cannot fix
+    # (docs/TRAINING.md round-5 maneuver-2 analysis).
+    dagger_n = _arg("--dagger", 0)
+    if dagger_n:
+        print(f"DAgger: collecting {dagger_n} policy-rollout samples")
+        st = time.perf_counter()
+        Xd, Md, Yd = collect_dataset_dagger(
+            params, cfg, jax.random.key(3), dagger_n,
+            state.model, state.variables, n_envs=n_envs,
+            maneuver_cycle=cycle, chunk_steps=chunk_steps,
         )
+        print(f"collected {len(Xd)} in {time.perf_counter()-st:.1f}s")
+        X = np.concatenate([X, Xd])
+        M = np.concatenate([M, Md])
+        Y = np.concatenate([Y, Yd])
+        dagger_steps = _arg("--dagger-steps", cfg.steps // 2)
+        print("DAgger retraining:")
+        state, more = train(
+            state, make_data(X, M, Y), dagger_steps, jax.random.key(4)
+        )
+        losses += more
 
     out = os.environ.get("IL_MODEL", "/tmp/tinycar_combo_flax.npz")
     save_variables_npz(out, state.variables)

@@ -44,3 +44,21 @@ def test_randomize_camera_changes_matrices(params):
 
         fov = 2 * math.atan(w / (2 * fx))
         assert math.radians(89) < fov < math.radians(131)
+
+
+def test_collect_dataset_dagger(params):
+    """Policy-rollout collection: the car follows the (untrained) net,
+    labels are the Stanley expert's steering at the visited states."""
+    from tinycarlo_tpu.train.il import collect_dataset_dagger, create
+
+    cfg = ILConfig()
+    state = create(jax.random.key(9), fenv.observation_shape(params), cfg)
+    X, M, Y = collect_dataset_dagger(
+        params, cfg, jax.random.key(0), n_samples=60,
+        model=state.model, variables=state.variables,
+        n_envs=4, chunk_steps=16,
+    )
+    assert X.shape == (60, *fenv.observation_shape(params))
+    assert X.dtype == np.uint8 and (X > 0).any()
+    assert set(np.unique(M)).issubset({0.0, 1.0, 2.0})
+    assert np.isfinite(Y).all() and Y.std() > 0

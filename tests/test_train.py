@@ -181,6 +181,34 @@ def test_il_train_step_reduces_loss():
     assert float(loss) < float(first)
 
 
+def test_il_turn_weighted_loss():
+    """turn_weight=w weights sample i by 1 + w*min(|y_i|,1), normalized:
+    the reported loss matches the hand-computed weighted mean, and w=0
+    reproduces the plain-MSE loss exactly."""
+    state = il_create(jax.random.key(0), (5, 64, 160), ILConfig())
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((8, 64, 160, 5)), jnp.float32)
+    m = jax.nn.one_hot(jnp.asarray(rng.integers(0, 3, 8)), 3)
+    y = jnp.asarray(rng.uniform(-2.0, 2.0, (8, 1)), jnp.float32)
+    batch = {"x": x, "m": m, "y": y}
+
+    out = state.model.apply(
+        {"params": state.variables["params"],
+         "batch_stats": state.variables["batch_stats"]},
+        x, m, train=True, mutable=["batch_stats"],
+    )[0]
+    w = 1.0 + 2.0 * np.minimum(np.abs(np.asarray(y)), 1.0)
+    err = (np.asarray(out) - np.asarray(y)) ** 2
+    expect_w = float((w * err).sum() / w.sum())
+    expect_plain = float(err.mean())
+
+    _, loss_w = il_train_step(state, ILConfig(turn_weight=2.0), batch)
+    _, loss_plain = il_train_step(state, ILConfig(), batch)
+    np.testing.assert_allclose(float(loss_w), expect_w, rtol=1e-5)
+    np.testing.assert_allclose(float(loss_plain), expect_plain, rtol=1e-5)
+    assert abs(expect_w - expect_plain) > 1e-6  # the weighting does bite
+
+
 def test_evaluate_harness_stanley():
     """evaluate() runs the reference metric dict end-to-end with a Stanley
     act_fn standing in for a net policy."""

@@ -47,6 +47,21 @@ class ILConfig:
     # terminating (here: auto-resetting) cars the OU noise pushed off
     # the path instead of recording their runaway frames/labels
     collect_max_cte: float = struct.field(pytree_node=False, default=0.15)
+    # turn-weighted MSE (extension; 0.0 = the reference's plain MSE,
+    # train_stanley_il.py:117-124). Straight-driving frames (|label|
+    # near 0) dominate expert datasets even with maneuver-balanced
+    # batches, so the tanh head under-commits on the rare sharp-turn
+    # frames (measured: turn-frame |pred| plateaus ~0.93 against
+    # clipped-expert 1.0, docs/TRAINING.md round-5). w > 0 weights each
+    # sample by 1 + w*min(|label|, 1), normalized per batch.
+    turn_weight: float = struct.field(pytree_node=False, default=0.0)
+    # per-chunk camera domain randomization (the reference's protocol,
+    # train_stanley_il.py:53-57). False trains against the fixed default
+    # camera -- the in-sim-optimal choice when the checkpoint is
+    # evaluated/served under that same camera (DR buys hardware
+    # transfer at the cost of a scale-ambiguous mapping: the net cannot
+    # observe pitch/fov, so apparent junction distance is ambiguous).
+    camera_dr: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -88,7 +103,13 @@ def train_step(
             train=True,
             mutable=["batch_stats"],
         )
-        return jnp.mean((out - batch["y"]) ** 2), mutated["batch_stats"]
+        err = (out - batch["y"]) ** 2
+        if cfg.turn_weight:
+            w = 1.0 + cfg.turn_weight * jnp.minimum(
+                jnp.abs(batch["y"]), 1.0
+            )
+            return jnp.sum(w * err) / jnp.sum(w), mutated["batch_stats"]
+        return jnp.mean(err), mutated["batch_stats"]
 
     tx = optax.adam(cfg.learning_rate)
     (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -222,7 +243,8 @@ def collect_chunk(
     where T' = chunk_steps // skip_steps sampled frames.
     """
     k_cam, k_reset, k_scan = jax.random.split(key, 3)
-    params = randomize_camera(params, k_cam)
+    if cfg.camera_dr:
+        params = randomize_camera(params, k_cam)
     # Collection runs under the reference's CTETerminationWrapper
     # (train_stanley_il.py:84: max_cte=0.15): a diverged car (OU noise
     # off a turn) terminates and auto-resets instead of continuing to
@@ -298,6 +320,137 @@ def collect_chunk(
         body, (vstate, noise0, info0), (idx, keys)
     )
     return traj
+
+
+def collect_chunk_dagger(
+    params: fenv.EnvParams,
+    cfg: ILConfig,
+    key: jnp.ndarray,
+    n_envs: int,
+    chunk_steps: int,
+    maneuver: jnp.ndarray,  # (B,) int32, MODEL space (2 = left)
+    model: Any,
+    variables: Any,
+):
+    """DAgger correction chunk: the CAR follows the trained net's policy
+    while the LABEL stays the Stanley expert (Ross et al. 2011's core
+    move; an extension -- the reference only does expert+noise rollouts,
+    train_stanley_il.py:62-74). The net visits its own failure states
+    (e.g. drifting wide mid-left-turn) and the dataset records the
+    expert's correction there, attacking compounding error directly --
+    the measured maneuver-2 failure mode (docs/TRAINING.md round-5).
+
+    Observations render EVERY step (the policy consumes them); every
+    `skip_steps`-th frame is kept as a sample, like `collect_chunk`.
+    The same collection-time CTE auto-reset bounds how far off-path a
+    diverged car can drag the data."""
+    k_cam, k_reset, k_scan = jax.random.split(key, 3)
+    if cfg.camera_dr:
+        params = randomize_camera(params, k_cam)
+    from tinycarlo_tpu.wrapper.functional import (
+        WrapperStack,
+        cte_termination,
+    )
+
+    stack = WrapperStack(
+        termination_fns=(
+            partial(
+                cte_termination, max_cte=cfg.collect_max_cte,
+                number_of_steps=1,
+            ),
+        ),
+    )
+    vstate, _ = vector.reset(
+        params, k_reset, n_envs, stack=stack, render=False
+    )
+    max_steer = params.cfg.car.max_steering_angle
+    env_dtype = params.camera.E.dtype
+    onehot = jax.nn.one_hot(maneuver, cfg.maneuver_dim, dtype=jnp.float32)
+    act_maneuver = jnp.where(maneuver != 2, maneuver, 3)
+
+    def body(carry, inp):
+        vstate, info = carry
+        i = inp
+        label = stanley_steering(
+            info["cte"], info["heading_error"], cfg.speed, cfg.k, max_steer
+        )
+        obs = fenv.render_observation_batch(params, vstate.env)
+        act = model.apply(variables, pre_obs(obs), onehot, train=False)
+        steer = jnp.clip(act[:, 0], -1.0, 1.0)
+        action = {
+            "car_control": jnp.stack(
+                [
+                    jnp.full((n_envs,), cfg.speed, env_dtype),
+                    steer.astype(env_dtype),
+                ],
+                axis=-1,
+            ),
+            "maneuver": act_maneuver,
+        }
+        vstate, _, _, _, _, info = vector.step(
+            params, vstate, action, stack=stack, render=False
+        )
+        out = {
+            "obs": obs,
+            "steering": label,
+            "keep": (i + 1) % cfg.skip_steps == 0,
+        }
+        return (vstate, info), out
+
+    info0 = jax.vmap(lambda s: fenv._info(params, s))(vstate.env)
+    (_, _), traj = jax.lax.scan(
+        body, (vstate, info0), jnp.arange(chunk_steps)
+    )
+    return traj
+
+
+def collect_dataset_dagger(
+    params: fenv.EnvParams,
+    cfg: ILConfig,
+    key: jnp.ndarray,
+    n_samples: int,
+    model: Any,
+    variables: Any,
+    n_envs: int = 16,
+    chunk_steps: int = 128,
+    maneuver_cycle=(0, 1, 2),
+):
+    """`collect_dataset` over policy-rollout chunks
+    (`collect_chunk_dagger`): (X, M, Y) where X are states the CURRENT
+    net reaches and Y the expert's steering there."""
+    collect = jax.jit(
+        partial(
+            collect_chunk_dagger,
+            params,
+            cfg,
+            n_envs=n_envs,
+            chunk_steps=chunk_steps,
+            model=model,
+        )
+    )
+    xs, ms, ys = [], [], []
+    total = 0
+    chunk_i = 0
+    while total < n_samples:
+        key, sub = jax.random.split(key)
+        m_id = int(maneuver_cycle[chunk_i % len(maneuver_cycle)])
+        maneuver = jnp.full((n_envs,), m_id, jnp.int32)
+        traj = jax.device_get(
+            collect(sub, maneuver=maneuver, variables=variables)
+        )
+        keep = traj["keep"].astype(bool)
+        obs = traj["obs"][keep].reshape(-1, *traj["obs"].shape[2:])
+        steer = traj["steering"][keep].reshape(-1)
+        n = obs.shape[0]
+        xs.append(obs)
+        ms.append(np.full(n, m_id, np.float32))
+        ys.append(steer[:, None].astype(np.float32))
+        total += n
+        chunk_i += 1
+    X = np.concatenate(xs)[:n_samples]
+    M = np.concatenate(ms)[:n_samples]
+    Y = np.concatenate(ys)[:n_samples]
+    return X, M, Y
 
 
 def collect_dataset(
