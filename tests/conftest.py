@@ -58,6 +58,7 @@ _SLOW_TESTS = {
         "test_sp_packed_kernel_bit_equal",
         "test_sp_env_observation_bit_equal",
         "test_sp_exact_stroke_bit_equal",
+        "test_sp_rank_format_bit_equal",
     },
     "test_vector.py": {
         "test_vmap_matches_single",

@@ -304,3 +304,48 @@ def test_sp_chunk_bit_equal():
     np.testing.assert_array_equal(
         np.asarray(state_ref.buf.storage["x"]), np.asarray(state_sp.buf.storage["x"])
     )
+
+
+def test_sp_rank_format_bit_equal():
+    """SP rank rendering (fmt="rank", pmax combine) equals the unsharded
+    rank observation bit for bit -- fast stroke (per-shard rank kernel)
+    AND exact t>=2 stroke (rank derived from the psum-OR'd exact
+    masks)."""
+    import dataclasses
+
+    from tests.test_env import CONFIG
+    from tinycarlo_tpu import env as fenv
+    from tinycarlo_tpu import vector
+    from tinycarlo_tpu.parallel.sp import render_observation_batch_sp
+
+    mesh = parallel.make_mesh(model=2)
+    cfg = dict(CONFIG)
+    cfg["camera"] = dict(
+        CONFIG["camera"], resolution=[32, 40], line_thickness=2,
+    )
+    cfg["sim"] = dict(CONFIG["sim"], observation_space_format="rank")
+    params = fenv.make_env_params(cfg, dtype=jnp.float32)
+    vstate, _ = vector.reset(params, jax.random.key(3), 4, render=False)
+
+    expected = fenv.render_observation_batch(params, vstate.env)
+    got = render_observation_batch_sp(
+        params, vstate.env, mesh, interpret=True, fmt="rank"
+    )
+    assert got.shape == expected.shape == (4, 32, 40)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+    assert np.asarray(expected).sum() > 0
+
+    params_x = params.replace(cfg=dataclasses.replace(
+        params.cfg,
+        camera=dataclasses.replace(params.cfg.camera, stroke="exact"),
+    ))
+    expected_x = fenv.render_observation_batch(params_x, vstate.env)
+    got_x = render_observation_batch_sp(
+        params_x, vstate.env, mesh, interpret=True, fmt="rank"
+    )
+    np.testing.assert_array_equal(np.asarray(got_x), np.asarray(expected_x))
+
+    with pytest.raises(ValueError):
+        render_observation_batch_sp(
+            params, vstate.env, mesh, interpret=True, fmt="rgb"
+        )

@@ -110,6 +110,7 @@ def render_observation_batch_sp(
     data_sharded: bool = False,
     interpret: Optional[bool] = None,
     out_dtype=jnp.uint8,
+    fmt: str = "classes",
 ) -> jnp.ndarray:
     """`env.render_observation_batch` (classes format) with the packed
     segment axis sharded over the `model` mesh axis: each device projects
@@ -125,20 +126,33 @@ def render_observation_batch_sp(
     Pallas stamp per shard (stroke is per-segment work; the psum-OR
     combine is stroke-agnostic), bit-equal to the unsharded exact
     renderer (tests/test_parallel.py::test_sp_exact_stroke_bit_equal).
+
+    `fmt="rank"` emits the 1-byte/pixel paint-order layer map instead
+    (env.observation_shape "rank" extension): each shard's rank kernel
+    stamps max(layer+1) over ITS segments and a pmax over the model axis
+    composes paint order globally (layer rank is shard-invariant, so
+    SP-rank equals the unsharded rank map bit for bit). Under
+    stroke="exact" with t>=2 the rank map derives from the psum-OR'd
+    exact masks instead, mirroring env.render_observation_batch's
+    fallback.
     """
     from tinycarlo_tpu import camera as cam
     from tinycarlo_tpu.ops.rasterize_pallas import (
         rasterize_masks_packed_pallas_soa,
+        rasterize_rank_packed_soa,
     )
 
     cfg = params.cfg
     md = params.map_data
+    if fmt not in ("classes", "rank"):
+        raise ValueError(f"unsupported SP observation format: {fmt!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     d = mesh.shape[MODEL_AXIS]
     edges = _pad_axis(md.packed_edges, 1, d)
     emask = _pad_axis(md.packed_edge_mask, 1, d, value=False)
     elayer = _pad_axis(md.packed_edge_layer, 0, d)
+    rank_via_masks = cfg.camera.stroke == "exact" and cfg.camera.line_thickness >= 2
 
     def shard_fn(edges_s, emask_s, elayer_s, position, rotation):
         body = jax.vmap(cam.car_world_to_body_matrix)(position, rotation)
@@ -147,6 +161,15 @@ def render_observation_batch_sp(
             md.packed_nodes, edges_s, emask_s, pose, params.camera.K,
             cfg.camera.resolution, cfg.camera.max_range,
         )
+        if fmt == "rank" and not rank_via_masks:
+            part = rasterize_rank_packed_soa(
+                u0[:, 0], v0[:, 0], u1[:, 0], v1[:, 0], draw[:, 0],
+                elayer_s, md.n_layers, cfg.camera.resolution,
+                cfg.camera.line_thickness,
+                max_visible=cfg.camera.max_visible_segments,
+                interpret=interpret,
+            )
+            return jax.lax.pmax(part, MODEL_AXIS)
         part = rasterize_masks_packed_pallas_soa(
             u0[:, 0], v0[:, 0], u1[:, 0], v1[:, 0], draw[:, 0], elayer_s,
             md.n_layers, cfg.camera.resolution, cfg.camera.line_thickness,
@@ -155,6 +178,9 @@ def render_observation_batch_sp(
         )
         hit = (part > 0).astype(jnp.int32)
         combined = jax.lax.psum(hit, MODEL_AXIS)
+        if fmt == "rank":
+            masks = jnp.where(combined > 0, jnp.uint8(255), jnp.uint8(0))
+            return ras.rank_from_masks(masks)
         one = 255 if jnp.dtype(out_dtype) == jnp.uint8 else 1
         return jnp.where(combined > 0, one, 0).astype(out_dtype)
 
