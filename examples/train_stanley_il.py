@@ -8,6 +8,10 @@ OU noise :66; every-2nd-frame sampling :68-74), npz dataset caching
 per-maneuver evaluation (:139-142).
 
 Usage: python examples/train_stanley_il.py [--samples 25000] [--steps 10000]
+  [--envs 16] [--m2x N] [--chunk-steps 128] [--balance] [--no-dr]
+  [--turn-weight W*100] [--dagger N [--dagger-steps M]]
+(lever-by-lever measurements in docs/TRAINING.md round-5; the bundled
+checkpoint is `--chunk-steps 512 --m2x 2 --balance --no-dr` at 30k/15k)
 """
 import os
 import sys
