@@ -93,8 +93,11 @@ def config3():
     # (bench.py CHUNK fit, docs/KERNELS.md round-3b) -- at ~4.8 ms/step
     # a 20-step chunk paid ~17% pure dispatch overhead
     chunk_steps = int(os.environ.get("BENCH_CHUNK3", 100))
+    # BENCH_OBS_FORMAT3=rank measures the rank observation contract on
+    # the big-frame workload (BASELINE.md row 2r rationale)
+    fmt3 = os.environ.get("BENCH_OBS_FORMAT3", "classes")
     cfg = {
-        "sim": {"fps": 30, "observation_space_format": "classes"},
+        "sim": {"fps": 30, "observation_space_format": fmt3},
         "car": {"wheelbase": 0.0487, "track_width": 0.027,
                 "max_velocity": 0.1, "max_steering_angle": 30,
                 "steering_speed": 30, "max_acceleration": 0.1,
@@ -114,7 +117,7 @@ def config3():
         # contiguous sample keeps the rasterizer live without re-reading
         # the 786 MB obs (bench.py rationale; strided sampling is a
         # relayout-copy trap)
-        checksum = checksum + jnp.sum(obs[:, :, 238:242, :],
+        checksum = checksum + jnp.sum(obs[..., 238:242, :],
                                       dtype=jnp.uint32)
         # maneuver switching: cycle straight/right/left per scan step and
         # env (u-turn entry exercised via the per-step remap)
@@ -151,7 +154,7 @@ def config3():
     rates.sort()
     print(json.dumps({
         "config": 3,
-        "metric": "knuffingen 480x640 classes env-steps/s, maneuver"
+        "metric": f"knuffingen 480x640 {fmt3} env-steps/s, maneuver"
                   " switching",
         "value": round(rates[2], 1),
         "spread": [round(rates[0], 1), round(rates[-1], 1)],
